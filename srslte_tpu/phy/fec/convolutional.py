@@ -1,0 +1,182 @@
+"""Tail-biting convolutional code K=7 rate 1/3 + Viterbi decoder (36.212 §5.1.3.1).
+
+Reference behavior: lib/src/phy/fec/convolutional/{convcoder.c, viterbi.c,
+viterbi37_port.c}.  Generators G = (133, 171, 165) octal; tail-biting decode
+follows the reference's wrap-around scheme (viterbi.c:66-71): repeat the
+received sequence TB_ITER=3 times, run one Viterbi pass, keep the middle copy.
+
+TPU-first: the encoder is a GF(2) matmul per static length bucket (tail-biting
+keeps it linear); the decoder is a batched add-compare-select lax.scan over
+[B, 64] path metrics with survivor decisions stored per step, then a gather
+traceback scan.  Throughput comes from batching many blocks (e.g. all PDCCH
+blind-search candidates at once, SURVEY.md §7.6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+K_CONV = 7
+RATE = 3
+GENS = (0o133, 0o171, 0o165)
+TB_ITER = 3
+
+_NSTATES = 64
+
+
+def _parity(x: np.ndarray) -> np.ndarray:
+    x = x ^ (x >> 4)
+    x = x ^ (x >> 2)
+    x = x ^ (x >> 1)
+    return x & 1
+
+
+@functools.lru_cache(maxsize=1)
+def _branch_tables():
+    """OUT[u, s, 3] output bits and NEXT[u, s] for reg = (u<<6)|s, s MSB-newest."""
+    u = np.arange(2)[:, None]
+    s = np.arange(_NSTATES)[None, :]
+    reg = (u << 6) | s
+    out = np.stack([_parity(reg & g) for g in GENS], axis=-1)  # [2, 64, 3]
+    nxt = ((u << 5) | (s >> 1)).astype(np.int32)  # [2, 64]
+    return out.astype(np.int32), nxt
+
+
+def conv_encode_np(bits: np.ndarray) -> np.ndarray:
+    """Host tail-biting encoder: bits [..., L] -> coded [..., 3L].
+
+    Initial state = last 6 input bits (convcoder.c:50-56), so the trellis
+    starts and ends in the same state.
+    """
+    out_tab, nxt = _branch_tables()
+    L = bits.shape[-1]
+    # state s holds (c_{i-1}..c_{i-6}), newest at bit 5
+    state = np.zeros(bits.shape[:-1], np.int32)
+    for i in range(L - 6, L):
+        state = (state >> 1) | (bits[..., i].astype(np.int32) << 5)
+    out = np.empty(bits.shape[:-1] + (3 * L,), np.uint8)
+    for i in range(L):
+        u = bits[..., i].astype(np.int32)
+        out[..., 3 * i : 3 * i + 3] = out_tab[u, state]
+        state = nxt[u, state]
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _encoder_matrix(length: int) -> np.ndarray:
+    eye = np.eye(length, dtype=np.uint8)
+    return conv_encode_np(eye)
+
+
+def conv_encode(bits, length: int):
+    """Device encoder: one int8 matmul (linear incl. tail-biting init)."""
+    import jax.numpy as jnp
+
+    g = jnp.asarray(_encoder_matrix(length), jnp.int8)
+    return (jnp.matmul(bits.astype(jnp.int8), g, preferred_element_type=jnp.int32) & 1).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=1)
+def _pred_tables():
+    """For each state s': predecessors s = ((s'&0x1F)<<1)|b, input u = s'>>5."""
+    sp = np.arange(_NSTATES)
+    pred = np.stack([((sp & 0x1F) << 1) | b for b in (0, 1)], axis=1)  # [64, 2]
+    u_in = (sp >> 5).astype(np.int32)  # [64]
+    out_tab, _ = _branch_tables()
+    # branch output bits for arriving at s' from pred b: OUT[u(s'), pred]
+    br = out_tab[u_in[:, None], pred]  # [64, 2, 3]
+    return pred.astype(np.int32), u_in, br.astype(np.float32)
+
+
+def viterbi_decode(llr, length: int, tail_biting: bool = True):
+    """Batched soft Viterbi: llr [B, 3L] (positive ⇒ bit 1) -> bits [B, L] uint8.
+
+    Tail-biting wrap-around per viterbi.c: the sequence is processed TB_ITER
+    times and the middle copy is returned.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pred, u_in, br = _pred_tables()
+    pred_j = jnp.asarray(pred)
+    br_j = jnp.asarray(br)  # [64, 2, 3]
+
+    b = llr.shape[0]
+    sym = llr.reshape(b, length, 3)
+    if tail_biting:
+        sym = jnp.concatenate([sym] * TB_ITER, axis=1)
+    t_total = sym.shape[1]
+
+    def acs(m, y):
+        # y: [B, 3]; metric of branch into s' from pred b: sum_k br*y_k
+        bm = jnp.einsum("sbk,nk->nsb", br_j, y)  # [B, 64, 2]
+        cand = m[:, pred_j] + bm  # [B, 64, 2]
+        dec = jnp.argmax(cand, axis=-1)
+        new = cand.max(axis=-1)
+        new = new - new.max(axis=-1, keepdims=True)
+        return new, dec.astype(jnp.int8)
+
+    m0 = jnp.zeros((b, _NSTATES), jnp.float32)
+    if not tail_biting:
+        m0 = jnp.full((b, _NSTATES), -1e9).at[:, 0].set(0.0)
+    m_end, decisions = jax.lax.scan(acs, m0, jnp.moveaxis(sym, 1, 0))
+
+    best = jnp.argmax(m_end, axis=-1).astype(jnp.int32)  # [B]
+
+    u_in_j = jnp.asarray(u_in)
+
+    def traceback(state, dec_t):
+        bit = u_in_j[state]
+        bsel = jnp.take_along_axis(dec_t, state[:, None], axis=1)[:, 0].astype(jnp.int32)
+        prev = ((state & 0x1F) << 1) | bsel
+        return prev, bit
+
+    _, bits_rev = jax.lax.scan(traceback, best, decisions[::-1])
+    bits = bits_rev[::-1].T.astype(jnp.uint8)  # [B, T_total]
+    if tail_biting:
+        mid = (TB_ITER // 2) * length
+        bits = bits[:, mid : mid + length]
+    return bits
+
+
+# ---------------------------------------------------- conv rate matching
+NCOLS = 32
+RM_PERM_CC = np.array([1, 17, 9, 25, 5, 21, 13, 29, 3, 19, 11, 27, 7, 23, 15, 31,
+                       0, 16, 8, 24, 4, 20, 12, 28, 2, 18, 10, 26, 6, 22, 14, 30], np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def rm_conv_indices(coded_len: int, e: int) -> np.ndarray:
+    """36.212 §5.1.4.2 conv rate matching: gather table [E] into coded [3D].
+
+    Each of the 3 streams (length D = coded_len/3) is sub-block interleaved
+    with the CC permutation; w = [v0; v1; v2]; e cycles skipping dummies.
+    """
+    d = coded_len // 3
+    nrows = -(-d // NCOLS)
+    kp = nrows * NCOLS
+    nd = kp - d
+    pad = np.concatenate([np.full(nd, -1, np.int64), np.arange(d)])
+    v = pad.reshape(nrows, NCOLS)[:, RM_PERM_CC].T.reshape(-1)  # [Kp]
+    # coded is time-major (convcoder.c output[3i+j]): stream s, pos i -> 3i+s
+    w = np.concatenate([np.where(v >= 0, 3 * v + s, -1) for s in range(3)])
+    sel = w[w >= 0]
+    reps = -(-e // len(sel))
+    return np.tile(sel, reps)[:e].astype(np.int32)
+
+
+def rm_conv_tx(coded, e: int):
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(rm_conv_indices(coded.shape[-1], e))
+    return coded[..., idx]
+
+
+def rm_conv_rx(e_llr, coded_len: int):
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(rm_conv_indices(coded_len, e_llr.shape[-1]))
+    out = jnp.zeros(e_llr.shape[:-1] + (coded_len,), e_llr.dtype)
+    return out.at[..., idx].add(e_llr)

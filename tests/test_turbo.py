@@ -1,0 +1,127 @@
+"""Turbo codec tests — analog of lib/src/phy/fec/turbo/test/turbodecoder_test.c
+and rm_turbo tests (SURVEY.md §4.1, BASELINE.md gates)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srslte_tpu.phy.fec import cbsegm, turbo
+from srslte_tpu.phy.fec.tdec import turbo_decode
+
+
+def test_cb_sizes_table():
+    s = cbsegm.cb_sizes()
+    assert len(s) == 188 and s[0] == 40 and s[-1] == 6144
+    assert turbo.F1.shape == (188,) and turbo.F2.shape == (188,)
+
+
+def test_cbsegm_spec_cases():
+    # single CB, no fillers: B = tbs+24 must hit a valid K
+    seg = cbsegm.cbsegm(40 - 24)
+    assert (seg.C, seg.K1, seg.F) == (1, 40, 0)
+    # B=6145 -> 2 CBs with CB CRCs
+    seg = cbsegm.cbsegm(6144 - 24 + 1)
+    assert seg.C == 2 and seg.C1 * seg.K1 + seg.C2 * seg.K2 >= 6145 + 48
+    # large TB
+    seg = cbsegm.cbsegm(75376)  # 100 PRB high MCS TBS
+    assert seg.C == 13
+    assert seg.C1 * seg.K1 + seg.C2 * seg.K2 - seg.F == 75376 + 24 + seg.C * 24
+
+
+def test_qpp_is_permutation():
+    for k in (40, 504, 6144):
+        p = turbo.qpp_perm(k)
+        assert sorted(p.tolist()) == list(range(k))
+        inv = turbo.qpp_perm_inv(k)
+        np.testing.assert_array_equal(p[inv], np.arange(k))
+
+
+def test_rsc_termination():
+    """Tail drives both constituent encoders back to state zero (asserted in
+    _rsc_encode_np) and output layout has the right length."""
+    rng = np.random.default_rng(0)
+    k = 64
+    bits = rng.integers(0, 2, (3, k)).astype(np.uint8)
+    d = turbo.turbo_encode_np(bits)
+    assert d.shape == (3, 3 * (k + 4))
+
+
+def test_device_encoder_matches_host():
+    rng = np.random.default_rng(1)
+    k = 104
+    bits = rng.integers(0, 2, (4, k)).astype(np.uint8)
+    host = turbo.turbo_encode_np(bits)
+    dev = np.asarray(turbo.turbo_encode(jnp.asarray(bits), k))
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_rm_full_buffer_is_permutation():
+    """With E = 3*(K+4), rv=0 and no fillers, every coded bit appears once."""
+    k = 104
+    idx = turbo.rm_indices(k, 3 * (k + 4), rv=0)
+    assert sorted(idx.tolist()) == list(range(3 * (k + 4)))
+
+
+@pytest.mark.parametrize("rv", [0, 1, 2, 3])
+def test_rm_roundtrip_bits(rv):
+    rng = np.random.default_rng(rv)
+    k = 104
+    bits = rng.integers(0, 2, (2, k)).astype(np.uint8)
+    d = turbo.turbo_encode_np(bits)
+    e = np.asarray(turbo.rm_tx(jnp.asarray(d), k, e=2 * (k + 4) * 3, rv=rv))
+    # soft-combined LLRs (bit0 -> +? convention: LLR>0 => bit1, so map bit b -> 2b-1)
+    llr = (2.0 * e - 1.0).astype(np.float32)
+    w = np.asarray(turbo.rm_rx(jnp.asarray(llr), k, rv=rv))
+    hard = (w > 0).astype(np.uint8)
+    got_d_positions = np.unique(turbo.rm_indices(k, 2 * (k + 4) * 3, rv))
+    np.testing.assert_array_equal(hard[..., got_d_positions], d[..., got_d_positions])
+
+
+def _awgn_llr(d_bits, ebn0_db, rate, rng):
+    """BPSK over AWGN; returns LLRs in the positive=bit1 convention."""
+    x = 1.0 - 2.0 * d_bits.astype(np.float32)  # bit1 -> -1
+    esn0 = 10 ** (ebn0_db / 10) * rate
+    sigma = np.sqrt(1.0 / (2 * esn0))
+    y = x + sigma * rng.standard_normal(x.shape).astype(np.float32)
+    return -y  # sign flip: more negative amplitude => bit 1 => positive LLR
+
+
+def test_turbo_noiseless_roundtrip():
+    rng = np.random.default_rng(2)
+    k = 104
+    bits = rng.integers(0, 2, (3, k)).astype(np.uint8)
+    d = turbo.turbo_encode_np(bits)
+    llr = -(1.0 - 2.0 * d.astype(np.float32))
+    hard, _ = turbo_decode(jnp.asarray(llr), k, n_iter=3)
+    np.testing.assert_array_equal(np.asarray(hard), bits)
+
+
+@pytest.mark.parametrize("k,ebn0", [(504, 1.5), (6144, 1.0)])
+def test_turbo_awgn_bler_gate(k, ebn0):
+    """turbodecoder_test gate: 0 residual block errors over N AWGN trials at
+    Eb/N0 1.0-2.0 dB, rate 1/3 (fec/turbo/test/CMakeLists.txt:45-48)."""
+    rng = np.random.default_rng(k)
+    n_trials = 24 if k == 6144 else 64
+    bits = rng.integers(0, 2, (n_trials, k)).astype(np.uint8)
+    d = turbo.turbo_encode_np(bits)
+    rate = k / (3 * (k + 4.0))
+    llr = _awgn_llr(d, ebn0, rate, rng)
+    hard, _ = jax.jit(lambda x: turbo_decode(x, k, n_iter=6))(jnp.asarray(llr))
+    errs = int(np.sum(np.any(np.asarray(hard) != bits, axis=1)))
+    assert errs == 0, f"{errs}/{n_trials} block errors at Eb/N0={ebn0} dB"
+
+
+def test_turbo_rm_full_chain_with_puncturing():
+    """encode -> rate match (puncture to rate 1/2) -> AWGN -> combine -> decode."""
+    rng = np.random.default_rng(5)
+    k = 504
+    e = 2 * k  # rate 1/2
+    bits = rng.integers(0, 2, (16, k)).astype(np.uint8)
+    d = turbo.turbo_encode_np(bits)
+    ebits = np.asarray(turbo.rm_tx(jnp.asarray(d), k, e=e, rv=0))
+    llr = _awgn_llr(ebits, 3.0, 0.5, rng)
+    w = turbo.rm_rx(jnp.asarray(llr), k, rv=0)
+    hard, _ = turbo_decode(w, k, n_iter=6)
+    errs = int(np.sum(np.any(np.asarray(hard) != bits, axis=1)))
+    assert errs == 0
