@@ -1,0 +1,165 @@
+"""PDSCH physical channel processor (36.211 §6.4, pdsch.c equivalent).
+
+Reference behavior: lib/src/phy/phch/pdsch.c (srsran_pdsch_encode:1017,
+srsran_pdsch_decode:788) and prb_dl.c RE mapping.  Encode: DL-SCH coding ->
+scrambling -> modulation -> (layer map/precode) -> RE mapping.  Decode:
+RE extraction -> equalize -> soft demod -> descramble -> DL-SCH decode.
+
+TPU-first: the RE map (around CRS / control region / PBCH / sync) is a static
+gather index per (cell, grant, sf class, cfi) bucket, so a whole subframe's
+PDSCH moves with two gathers; the rest is batched VPU/MXU work.  The
+reference's per-PRB copy loops (prb_dl.c) disappear.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..chest.refsignal_dl import crs_mask
+from ..common.params import Cell
+from ..common.scrambling import pdsch_cinit, scramble_bits, scramble_llr
+from ..mimo import alamouti_decode_2tx, alamouti_encode_2tx, equalize_zf
+from ..modem.modem import demod_soft, modulate
+from .dlsch import DlschConfig, dlsch_decode, dlsch_encode
+from .ra import DlGrant
+
+
+def sf_flags(sf_idx: int) -> tuple[bool, bool]:
+    """(has_pss_sss, has_pbch) for FDD (36.211 §6.11/6.6)."""
+    return (sf_idx % 5 == 0, sf_idx == 0)
+
+
+@functools.lru_cache(maxsize=None)
+def reserved_mask(cell: Cell, cfi: int, has_pss_sss: bool, has_pbch: bool) -> np.ndarray:
+    """[nsym_sf, nof_re] True where PDSCH must NOT map."""
+    o = cell.ofdm
+    m = crs_mask(cell).copy()
+    m[:cfi, :] = True  # control region
+    mid = o.nof_re // 2
+    if has_pss_sss:
+        # PSS symbol 6, SSS symbol 5 (normal CP slot 0), center 72 subcarriers
+        nsym_slot = o.nsymb_slot
+        m[nsym_slot - 1, mid - 36 : mid + 36] = True
+        m[nsym_slot - 2, mid - 36 : mid + 36] = True
+    if has_pbch:
+        # PBCH: slot 1 symbols 0..3, center 72 subcarriers
+        for l in range(4):
+            m[o.nsymb_slot + l, mid - 36 : mid + 36] = True
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def pdsch_re_indices(cell: Cell, prb_mask: tuple, cfi: int,
+                     has_pss_sss: bool, has_pbch: bool) -> np.ndarray:
+    """Flattened grid indices (sym*nof_re + k), frequency-first then symbol."""
+    o = cell.ofdm
+    res = reserved_mask(cell, cfi, has_pss_sss, has_pbch)
+    sc = np.zeros(o.nof_re, bool)
+    for i, used in enumerate(prb_mask):
+        if used:
+            sc[i * 12 : (i + 1) * 12] = True
+    idx = []
+    for l in range(o.nsymb_sf):
+        ks = np.where(sc & ~res[l])[0]
+        idx.append(l * o.nof_re + ks)
+    return np.concatenate(idx).astype(np.int32)
+
+
+def nof_re_pdsch(cell: Cell, grant: DlGrant, sf_idx: int, cfi: int) -> int:
+    ps, pb = sf_flags(sf_idx)
+    return len(pdsch_re_indices(cell, grant.prb_mask, cfi, ps, pb))
+
+
+def dlsch_config(cell: Cell, grant: DlGrant, sf_idx: int, cfi: int) -> DlschConfig:
+    n_re = nof_re_pdsch(cell, grant, sf_idx, cfi)
+    return DlschConfig(tbs=grant.tbs, G=n_re * grant.modulation.bits_per_symbol,
+                       Qm=grant.modulation.bits_per_symbol, rv=grant.rv)
+
+
+@dataclass(frozen=True)
+class Pdsch:
+    """PDSCH processor for one (cell, grant, sf_idx, cfi, rnti) bucket."""
+
+    cell: Cell
+    grant: DlGrant
+    sf_idx: int
+    cfi: int = 1
+    rnti: int = 0x1234
+
+    @functools.cached_property
+    def cfg(self) -> DlschConfig:
+        return dlsch_config(self.cell, self.grant, self.sf_idx, self.cfi)
+
+    @functools.cached_property
+    def re_idx(self) -> np.ndarray:
+        ps, pb = sf_flags(self.sf_idx)
+        return pdsch_re_indices(self.cell, self.grant.prb_mask, self.cfi, ps, pb)
+
+    @property
+    def cinit(self) -> int:
+        return pdsch_cinit(self.rnti, 0, self.sf_idx, self.cell.id)
+
+    # -- eNB side -----------------------------------------------------------
+    def encode(self, bits, grids):
+        """bits [..., tbs] -> grids with PDSCH REs filled.
+
+        grids: [..., nports, nsym_sf, nof_re] complex64 per-port RE grids.
+        TM1 (1 port) or TM2 SFBC (2 ports).
+        """
+        import jax.numpy as jnp
+
+        coded = dlsch_encode(bits, self.cfg)
+        scr = scramble_bits(coded, self.cinit)
+        sym = modulate(scr, self.grant.modulation)
+        o = self.cell.ofdm
+        idx = jnp.asarray(self.re_idx)
+        shape = grids.shape[:-2] + (o.nsymb_sf * o.nof_re,)
+        if self.cell.nof_ports == 1:
+            flat = grids.reshape(shape)
+            flat = flat.at[..., 0, idx].set(sym)
+        elif self.cell.nof_ports == 2:
+            tx = alamouti_encode_2tx(sym)  # [..., 2, n]
+            flat = grids.reshape(shape)
+            flat = flat.at[..., 0, idx].set(tx[..., 0, :])
+            flat = flat.at[..., 1, idx].set(tx[..., 1, :])
+        else:
+            raise NotImplementedError("4-port PDSCH not yet implemented")
+        return flat.reshape(grids.shape)
+
+    # -- UE side ------------------------------------------------------------
+    def decode(self, grid, ce, noise_var, n_iter: int = 5):
+        """grid [..., nsym, nre], ce [..., nports, nsym, nre] -> (bits, crc_ok).
+
+        Equalizes (MMSE for 1 port, SFBC combine for 2), demodulates with
+        noise-scaled LLRs, descrambles and runs DL-SCH decoding.
+        """
+        import jax.numpy as jnp
+
+        o = self.cell.ofdm
+        idx = jnp.asarray(self.re_idx)
+        y = grid.reshape(grid.shape[:-2] + (o.nsymb_sf * o.nof_re,))[..., idx]
+        cef = ce.reshape(ce.shape[:-2] + (o.nsymb_sf * o.nof_re,))
+        nv = jnp.asarray(noise_var)
+        if nv.ndim:
+            nv = nv[..., None]  # broadcast over REs
+        if self.cell.nof_ports == 1:
+            h = cef[..., 0, idx]
+            xhat = equalize_zf(y, h)
+            gain = jnp.abs(h) ** 2  # per-RE reliability after ZF
+        elif self.cell.nof_ports == 2:
+            h0, h1 = cef[..., 0, idx], cef[..., 1, idx]
+            xhat = alamouti_decode_2tx(y, h0, h1)
+            gain = (jnp.abs(h0) ** 2 + jnp.abs(h1) ** 2) / 2
+        else:
+            raise NotImplementedError
+        # weight LLRs by per-RE post-equalization SNR (max-log optimal scaling)
+        w = gain / jnp.maximum(nv, 1e-9)
+        llr = demod_soft(xhat, self.grant.modulation)
+        qm = self.grant.modulation.bits_per_symbol
+        wq = jnp.repeat(w, qm, axis=-1)
+        llr = llr * wq
+        llr = scramble_llr(llr, self.cinit)
+        return dlsch_decode(llr, self.cfg, n_iter=n_iter)

