@@ -116,12 +116,146 @@ def _siso(sys_apr, par, tail_x, tail_z):
     return jnp.moveaxis(llr_rev[::-1], 0, 1)  # [B, K]
 
 
-def turbo_decode(dcat_llr, k: int, n_iter: int = 5):
+@functools.lru_cache(maxsize=1)
+def _trellis_unrolled():
+    """Static trellis lists for the state-major kernels.
+
+    PREDS[s'] = ((sA, uA, pA), (sB, uB, pB)) — the two branches into s'.
+    SUCCS[s] = ((n0, p0), (n1, p1)) — next state / parity for u=0, u=1.
+    """
+    nxt, par, *_ = trellis_tables()
+    pred_s, pred_u, pred_p = _pred_tables()
+    preds = tuple(
+        tuple((int(pred_s[sp, i]), int(pred_u[sp, i]), int(pred_p[sp, i])) for i in range(2))
+        for sp in range(8))
+    succs = tuple(
+        tuple((int(nxt[u, s]), int(par[u, s])) for u in range(2)) for s in range(8))
+    return preds, succs
+
+
+def _siso_windowed(sys_apr, par, tail_x, tail_z, L: int, T: int):
+    """Windowed max-log-MAP: scans of length L+T over B*W parallel windows.
+
+    Equivalent role to the reference's windowed SSE decoder
+    (turbodecoder_sse.c, window impls turbodecoder.c:50-72): alpha for window
+    w trains on the T real positions before it (exact delta-at-zero init for
+    window 0 via inactive halo steps); beta trains on the T positions after
+    (exact tail termination for the last window).  Sequential depth drops from
+    K to L+T; the VPU batch grows by W.
+
+    Layout is state-major [8, N] (states on sublanes, N = B*W windows on
+    lanes) with a statically unrolled trellis — no gathers in the scan body,
+    and no per-step normalization (fp32 headroom covers L+T ~ 160 steps).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    preds, succs = _trellis_unrolled()
+    B, K = sys_apr.shape
+    W = K // L
+    N = B * W
+    w_starts = np.arange(W) * L
+
+    def window_inputs(pos):
+        idx = np.clip(pos, 0, K - 1).astype(np.int32)
+        act = jnp.asarray((pos >= 0) & (pos <= K - 1), jnp.float32)[None]  # [1, W, LT]
+        sa = sys_apr[:, jnp.asarray(idx)] * act  # [B, W, LT]
+        pr = par[:, jnp.asarray(idx)] * act
+        lt = pos.shape[-1]
+        # -> [LT, N] step-major, lanes = windows
+        sa = sa.reshape(N, lt).T
+        pr = pr.reshape(N, lt).T
+        live = jnp.broadcast_to(act, (B, W, lt)).reshape(N, lt).T
+        return sa, pr, live
+
+    # --- alpha: positions wL-T .. wL+L-1 ------------------------------------
+    sa_a, pr_a, live_a = window_inputs(w_starts[:, None] + np.arange(-T, L)[None, :])
+
+    def alpha_step(a, x):
+        sa, pr, live = x  # [N]
+        g = (None, pr, sa, sa + pr)  # g[(u<<1)|p]; g[0] = 0
+        rows = []
+        for sp in range(8):
+            (sA, uA, pA), (sB, uB, pB) = preds[sp]
+            ga = g[(uA << 1) | pA]
+            gb = g[(uB << 1) | pB]
+            ra = a[sA] if ga is None else a[sA] + ga
+            rb = a[sB] if gb is None else a[sB] + gb
+            rows.append(jnp.maximum(ra, rb))
+        new = jnp.stack(rows)  # [8, N]
+        new = live * new + (1.0 - live) * a  # inactive: carry through
+        return new, a  # emit alpha BEFORE this step
+
+    # init: window 0 of each CB starts exactly in state 0; training windows
+    # start uniform (lane n = b*W + w, so window-0 lanes are n % W == 0)
+    a0 = jnp.where(
+        (jnp.arange(N) % W == 0)[None, :] & (jnp.arange(8) != 0)[:, None], NEG,
+        jnp.zeros((8, N), jnp.float32))
+    _, alphas = jax.lax.scan(alpha_step, a0, (sa_a, pr_a, live_a))  # [LT, 8, N]
+
+    # --- beta + llr: positions wL .. wL+L+T-1 -------------------------------
+    sa_b, pr_b, live_b = window_inputs(w_starts[:, None] + np.arange(L + T)[None, :])
+
+    bK = _tail_beta(tail_x, tail_z)  # [B, 8]
+    b0 = jnp.zeros((B, W, 8), jnp.float32).at[:, W - 1].set(bK)
+    b0 = b0.reshape(N, 8).T  # [8, N]; uniform 0 for training windows
+
+    # alpha BEFORE each real position: scan steps T..T+L-1; pad halo with zeros
+    alphas_ext = jnp.concatenate(
+        [alphas[T:], jnp.zeros((T, 8, N), jnp.float32)], axis=0)
+
+    def beta_step(b, x):
+        sa, pr, live, alpha_k = x
+        g = (None, pr, sa, sa + pr)
+        # beta_k[s] = max_u b[nxt[u,s]] + gamma(u,s); llr from u=1 vs u=0 branches
+        m1 = None
+        m0 = None
+        rows = []
+        for s in range(8):
+            (n0, p0), (n1, p1) = succs[s]
+            g0 = g[p0]  # u=0: gamma = p*pr
+            g1 = g[2 | p1]  # u=1: gamma = sa + p*pr
+            b0r = b[n0] if g0 is None else b[n0] + g0
+            b1r = b[n1] + g1
+            rows.append(jnp.maximum(b0r, b1r))
+            t0 = alpha_k[s] + b0r
+            t1 = alpha_k[s] + b1r
+            m0 = t0 if m0 is None else jnp.maximum(m0, t0)
+            m1 = t1 if m1 is None else jnp.maximum(m1, t1)
+        new = jnp.stack(rows)
+        new = live * new + (1.0 - live) * b
+        return new, m1 - m0
+
+    xs_rev = (sa_b[::-1], pr_b[::-1], live_b[::-1], alphas_ext[::-1])
+    _, llr_rev = jax.lax.scan(beta_step, b0, xs_rev)
+    llr_w = llr_rev[::-1][:L]  # [L, N]
+    return llr_w.reshape(L, B, W).transpose(1, 2, 0).reshape(B, K)
+
+
+def default_window(k: int) -> int | None:
+    """Largest power-of-two window <=128 dividing K; None -> full scan."""
+    for L in (128, 64, 32, 16):
+        if k % L == 0 and k // L >= 2:
+            return L
+    return None
+
+
+def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0):
     """Decode a batch: dcat_llr [B, 3*(K+4)] -> (hard bits [B, K] uint8, llr [B, K]).
 
     dcat layout per turbo.turbo_encode_np.  Jittable; static (k, n_iter).
+    window: max-log-MAP window length (must divide K); 0 = auto (windowed for
+    K >= 256, sequential depth L+32 instead of K); None = full-length scans.
     """
     import jax.numpy as jnp
+
+    if window == 0:
+        window = default_window(k) if k >= 256 else None
+
+    def siso(sa, pr, tx, tz):
+        if window:
+            return _siso_windowed(sa, pr, tx, tz, L=window, T=32)
+        return _siso(sa, pr, tx, tz)
 
     d = k + 4
     d0, d1, d2 = dcat_llr[..., :d], dcat_llr[..., d : 2 * d], dcat_llr[..., 2 * d :]
@@ -138,10 +272,10 @@ def turbo_decode(dcat_llr, k: int, n_iter: int = 5):
     apr1 = jnp.zeros_like(sys)
     post = sys
     for _ in range(n_iter):
-        llr1 = _siso(sys + apr1, par1, t1x, t1z)
+        llr1 = siso(sys + apr1, par1, t1x, t1z)
         ext1 = llr1 - sys - apr1
         in2 = (sys + ext1)[..., pi]
-        llr2 = _siso(in2, par2, t2x, t2z)
+        llr2 = siso(in2, par2, t2x, t2z)
         ext2 = llr2 - in2
         apr1 = ext2[..., pi_inv]
         # llr2 deinterleaved = sys + ext1 + ext2: the full posterior
