@@ -240,20 +240,39 @@ def default_window(k: int) -> int | None:
     return None
 
 
-def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0):
+@functools.lru_cache(maxsize=1)
+def _pallas_ok() -> bool:
+    """Use the Pallas SISO kernel when running on a real TPU backend."""
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0,
+                 backend: str = "auto"):
     """Decode a batch: dcat_llr [B, 3*(K+4)] -> (hard bits [B, K] uint8, llr [B, K]).
 
     dcat layout per turbo.turbo_encode_np.  Jittable; static (k, n_iter).
     window: max-log-MAP window length (must divide K); 0 = auto (windowed for
     K >= 256, sequential depth L+32 instead of K); None = full-length scans.
+    backend: "auto" (Pallas VMEM kernel on TPU, XLA scans elsewhere),
+    "xla", or "pallas".
     """
     import jax.numpy as jnp
 
     if window == 0:
         window = default_window(k) if k >= 256 else None
+    use_pallas = backend == "pallas" or (backend == "auto" and _pallas_ok())
 
     def siso(sa, pr, tx, tz):
         if window:
+            if use_pallas:
+                from ...ops.tdec_pallas import siso_windowed_pallas
+
+                return siso_windowed_pallas(sa, pr, tx, tz, L=window, T=32)
             return _siso_windowed(sa, pr, tx, tz, L=window, T=32)
         return _siso(sa, pr, tx, tz)
 
