@@ -14,8 +14,10 @@ import jax.numpy as jnp
 
 from ..chest.refsignal_dl import put_crs
 from ..common.params import Cell
+from ..common.zc import pss_sequence
 from ..ofdm import Ofdm
 from ..phch.pdsch import Pdsch
+from ..sync.sss import sss_sequence
 
 
 @dataclass(frozen=True)
@@ -31,12 +33,31 @@ class EnbDl:
         return jnp.zeros(batch + (self.cell.nof_ports, o.nsymb_sf, o.nof_re),
                          jnp.complex64)
 
+    def put_pss_sss(self, grids, sf_idx: int):
+        """PSS (slot-0 last symbol) + SSS (one before) in subframes 0 and 5.
+
+        36.211 §6.11: center 62 subcarriers around DC, port 0 (enb_dl.c:344
+        put_base places them once, not per port).
+        """
+        if sf_idx % 5 != 0:
+            return grids
+        o = self.cell.ofdm
+        mid = o.nof_re // 2
+        pss = jnp.asarray(pss_sequence(self.cell.n_id_2))
+        sss = jnp.asarray(sss_sequence(self.cell.n_id_1, self.cell.n_id_2,
+                                       sf5=(sf_idx == 5)).astype("complex64"))
+        l_pss = o.nsymb_slot - 1
+        l_sss = o.nsymb_slot - 2
+        grids = grids.at[..., 0, l_pss, mid - 31 : mid + 31].set(pss)
+        grids = grids.at[..., 0, l_sss, mid - 31 : mid + 31].set(sss)
+        return grids
+
     def put_base(self, grids, sf_idx: int):
-        """CRS for all ports (PSS/SSS/PBCH when those channels land)."""
+        """CRS for all ports + PSS/SSS (PBCH when that channel lands)."""
         for p in range(self.cell.nof_ports):
             grids = grids.at[..., p, :, :].set(
                 put_crs(grids[..., p, :, :], self.cell, sf_idx, p))
-        return grids
+        return self.put_pss_sss(grids, sf_idx)
 
     def put_pdsch(self, grids, pdsch: Pdsch, bits):
         return pdsch.encode(bits, grids)

@@ -1,0 +1,82 @@
+"""Combined PSS+SSS synchronization (sync.c equivalent).
+
+Reference behavior: lib/src/phy/sync/sync.c srsran_sync_find (:442): PSS
+matched filter over the window, CFO estimate from the PSS symbol, SSS decode
+one symbol earlier, cell id = 3*N_id_1 + N_id_2.
+
+TPU-first: one jittable function over batched windows; all three N_id_2
+hypotheses and all 168 N_id_1 x {sf0, sf5} hypotheses are evaluated by the
+batched kernels in pss.py / sss.py; peak selection is argmax + gathers, so
+cell search over many windows is a single device dispatch (the reference
+loops hypotheses serially, ue_cell_search.c:260).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..common.params import OfdmParams
+from .cfo import cfo_correct
+from .pss import pss_cfo_compute, pss_find_peak
+from .sss import sss_find
+
+
+class SyncResult(NamedTuple):
+    n_id_2: object  # int32 [...]
+    n_id_1: object  # int32 [...] (-1 when SSS invalid)
+    cell_id: object  # int32 [...]
+    sf5: object  # bool [...]: True if the detected half-frame is subframe 5
+    peak_offset: object  # int32 [...]: start of the PSS symbol (no CP)
+    sf_start: object  # int32 [...]: start of the containing subframe
+    cfo: object  # float32 [...], subcarrier units
+    pss_metric: object  # float32 [...]
+    sss_metric: object  # float32 [...]
+
+
+def sync_find(samples, params: OfdmParams) -> SyncResult:
+    """Find PSS/SSS in windows [..., L] sampled at params.srate.
+
+    L should cover >= 1 subframe + 1 symbol of margin so the SSS symbol
+    preceding a detected PSS is inside the window; detection near the very
+    start of the window clamps (metric will reflect the bad fit).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = params.symbol_sz
+    cp1 = params.cp_lens_slot()[0]  # first-symbol CP
+    cp2 = params.cp_lens_slot()[1]  # other-symbol CP
+    slot = params.slot_len
+
+    n_id_2, offset, pss_metric = pss_find_peak(samples, n)
+
+    def per_window(x, nid2, off):
+        # PSS symbol -> CFO
+        pss_sym = jax.lax.dynamic_slice_in_dim(x, off, n, axis=-1)
+        cfo = pss_cfo_compute(pss_sym, nid2, n)
+        # SSS symbol occupies the n samples ending cp2 before the PSS start
+        sss_start = jnp.maximum(off - cp2 - n, 0)
+        sss_sym = jax.lax.dynamic_slice_in_dim(x, sss_start, n, axis=-1)
+        sss_sym = cfo_correct(sss_sym, cfo, n)
+        bins = jnp.fft.fft(sss_sym)
+        d = jnp.concatenate([bins[n - 31 :], bins[1:32]])
+        n_id_1, sf5, sss_metric = sss_find(d, nid2)
+        return cfo, n_id_1, sf5, sss_metric
+
+    batch = samples.shape[:-1]
+    if batch:
+        fn = per_window
+        for _ in batch:
+            fn = jax.vmap(fn)
+        cfo, n_id_1, sf5, sss_metric = fn(samples, n_id_2, offset)
+    else:
+        cfo, n_id_1, sf5, sss_metric = per_window(samples, n_id_2, offset)
+
+    # PSS sits in the last symbol of slot 0: subframe starts one slot minus
+    # (last symbol without its CP) before the PSS symbol start.
+    sf_start = offset + n - slot
+    cell_id = jnp.where(n_id_1 >= 0, 3 * n_id_1 + n_id_2, -1)
+    return SyncResult(n_id_2, n_id_1, cell_id.astype(np.int32), sf5,
+                      offset, sf_start, cfo, pss_metric, sss_metric)
