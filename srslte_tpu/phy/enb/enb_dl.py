@@ -16,7 +16,11 @@ from ..chest.refsignal_dl import put_crs
 from ..common.params import Cell
 from ..common.zc import pss_sequence
 from ..ofdm import Ofdm
+from ..phch.pbch import Mib, Pbch
+from ..phch.pcfich import Pcfich
+from ..phch.pdcch import Location, Pdcch
 from ..phch.pdsch import Pdsch
+from ..phch.phich import Phich
 from ..sync.sss import sss_sequence
 
 
@@ -58,6 +62,20 @@ class EnbDl:
             grids = grids.at[..., p, :, :].set(
                 put_crs(grids[..., p, :, :], self.cell, sf_idx, p))
         return self.put_pss_sss(grids, sf_idx)
+
+    def put_pbch(self, grids, mib: Mib):
+        """PBCH burst for frame phase mib.sfn%4 (subframe-0 grids only)."""
+        return Pbch(self.cell).encode_frame(mib, grids)
+
+    def put_pcfich(self, grids, sf_idx: int, cfi: int):
+        return Pcfich(self.cell, sf_idx).encode(grids, cfi)
+
+    def put_phich(self, grids, sf_idx: int, ack):
+        return Phich(self.cell, sf_idx).encode(grids, ack)
+
+    def put_pdcch(self, grids, sf_idx: int, cfi: int, payload, rnti: int,
+                  loc: Location):
+        return Pdcch(self.cell, cfi, sf_idx).encode(grids, payload, rnti, loc)
 
     def put_pdsch(self, grids, pdsch: Pdsch, bits):
         return pdsch.encode(bits, grids)

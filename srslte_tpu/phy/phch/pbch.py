@@ -1,0 +1,184 @@
+"""PBCH: broadcast channel carrying the MIB (36.211 §6.6, 36.212 §5.3.1).
+
+Reference behavior: lib/src/phy/phch/pbch.c — MIB pack (srsran_pbch_mib_pack),
+CRC16 masked by the antenna-port pattern (36.212 table 5.3.1.1-1), K=7
+tail-biting convolutional code, rate matching to 1920 bits (normal CP),
+cell-id scrambling reset every 4 frames, QPSK, SFBC, mapping to slot 1
+symbols 0-3 of subframe 0 over the center 72 subcarriers skipping 4-port CRS
+positions; decode tries every (frame-phase, antenna-count) hypothesis
+(srsran_pbch_decode:444).
+
+TPU-first: all 4 frame phases x {1,2} antenna hypotheses decode as ONE
+batched Viterbi pass + one batched CRC matmul; the reference's nested
+hypothesis loops collapse into a [8, ...] leading axis and an argmax.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..common.params import CP, Cell
+from ..common.sequence import gold_sequence, gold_sequence_signed
+from ..fec.convolutional import (conv_encode_np, rm_conv_indices, rm_conv_rx,
+                                 viterbi_decode)
+from ..fec.crc import LTE_CRC16, crc_attach, crc_bits, crc_matrix
+from ..mimo import alamouti_decode_2tx, alamouti_encode_2tx, equalize_zf
+from ..modem.modem import Modulation, demod_soft, modulate
+
+MIB_LEN = 24
+PAYLOAD = MIB_LEN + 16  # with CRC
+_BW_IDX = {6: 0, 15: 1, 25: 2, 50: 3, 75: 4, 100: 5}
+_BW_REV = {v: k for k, v in _BW_IDX.items()}
+_RES_IDX = {"1/6": 0, "1/2": 1, "1": 2, "2": 3}
+_RES_REV = {v: k for k, v in _RES_IDX.items()}
+
+
+def ant_mask(nof_ports: int) -> np.ndarray:
+    """CRC mask per 36.212 table 5.3.1.1-1."""
+    if nof_ports == 1:
+        return np.zeros(16, np.uint8)
+    if nof_ports == 2:
+        return np.ones(16, np.uint8)
+    return np.tile(np.array([0, 1], np.uint8), 8)
+
+
+@dataclass(frozen=True)
+class Mib:
+    n_prb: int
+    phich_length: str
+    phich_resources: str
+    sfn: int  # multiple of 4 (the 2 LSBs come from the decoded frame phase)
+
+    def pack(self) -> np.ndarray:
+        bits = np.zeros(MIB_LEN, np.uint8)
+        bw = _BW_IDX[self.n_prb]
+        bits[0:3] = [(bw >> i) & 1 for i in (2, 1, 0)]
+        bits[3] = 0 if self.phich_length == "norm" else 1
+        res = _RES_IDX[self.phich_resources]
+        bits[4:6] = [(res >> 1) & 1, res & 1]
+        sfn8 = (self.sfn >> 2) & 0xFF
+        bits[6:14] = [(sfn8 >> i) & 1 for i in range(7, -1, -1)]
+        return bits
+
+    @staticmethod
+    def unpack(bits: np.ndarray) -> "Mib":
+        bw = (bits[0] << 2) | (bits[1] << 1) | bits[2]
+        res = (bits[4] << 1) | bits[5]
+        sfn8 = 0
+        for b in bits[6:14]:
+            sfn8 = (sfn8 << 1) | int(b)
+        return Mib(n_prb=_BW_REV[int(bw)],
+                   phich_length="norm" if bits[3] == 0 else "ext",
+                   phich_resources=_RES_REV[int(res)], sfn=sfn8 << 2)
+
+
+@functools.lru_cache(maxsize=None)
+def pbch_re_indices(cell: Cell) -> np.ndarray:
+    """Flat subframe-grid indices of the 240 PBCH REs (normal CP).
+
+    Slot 1 symbols 0-3, center 72 subcarriers; symbols 0-1 skip the 4-port
+    CRS pattern (k mod 3 == cell_id mod 3) regardless of actual port count.
+    """
+    o = cell.ofdm
+    if cell.cp is not CP.NORM:
+        raise NotImplementedError("extended-CP PBCH mapping not yet supported")
+    first = o.nof_re // 2 - 36
+    idx = []
+    for l in range(4):
+        sym = o.nsymb_slot + l
+        ks = np.arange(first, first + 72)
+        if l < 2:
+            ks = ks[ks % 3 != cell.id % 3]
+        idx.append(sym * o.nof_re + ks)
+    out = np.concatenate(idx).astype(np.int32)
+    assert len(out) == 240
+    return out
+
+
+_E_TOTAL = 1920  # normal CP: 4 x 480 coded bits
+
+
+@functools.lru_cache(maxsize=None)
+def _scramble_signed(cell_id: int) -> np.ndarray:
+    return gold_sequence_signed(cell_id, _E_TOTAL)
+
+
+@dataclass(frozen=True)
+class Pbch:
+    cell: Cell
+
+    @functools.cached_property
+    def re_idx(self) -> np.ndarray:
+        return pbch_re_indices(self.cell)
+
+    def encode_frame(self, mib: Mib, grids):
+        """Encode the MIB burst for frame phase (sfn mod 4) into grids.
+
+        grids: subframe-0 grids [..., nports, nsym, nre].  The full 1920-bit
+        codeword is regenerated host-side per 4-frame period; phase selects
+        the 480-bit quarter.
+        """
+        import jax.numpy as jnp
+
+        phase = (mib.sfn % 4)
+        msg = mib.pack()
+        crc = crc_bits(msg, *LTE_CRC16) ^ ant_mask(self.cell.nof_ports)
+        payload = np.concatenate([msg, crc])
+        # host-side codeword (config-plane data; keeps encode_frame jittable)
+        coded = conv_encode_np(payload)[rm_conv_indices(3 * PAYLOAD, _E_TOTAL)]
+        scr = coded ^ gold_sequence(self.cell.id, _E_TOTAL)
+        quarter = jnp.asarray(scr[480 * phase : 480 * (phase + 1)])
+        sym = modulate(quarter, Modulation.QPSK)  # [240]
+        o = self.cell.ofdm
+        idx = jnp.asarray(self.re_idx)
+        flat = grids.reshape(grids.shape[:-2] + (o.nsymb_sf * o.nof_re,))
+        if self.cell.nof_ports == 1:
+            flat = flat.at[..., 0, idx].set(sym)
+        elif self.cell.nof_ports == 2:
+            tx = alamouti_encode_2tx(sym)
+            flat = flat.at[..., 0, idx].set(tx[..., 0, :])
+            flat = flat.at[..., 1, idx].set(tx[..., 1, :])
+        else:
+            raise NotImplementedError("4-port PBCH")
+        return flat.reshape(grids.shape)
+
+    def decode(self, grid, ce):
+        """Single-frame blind decode over (phase, ports) hypotheses.
+
+        grid [nsym, nre], ce [nports_est>=2, nsym, nre] (estimate CRS for 2
+        ports; the 1-port hypothesis uses ce[0] only).
+        Returns (ok, mib_bits[40], phase, nof_ports) — host values after one
+        batched device dispatch (mib bits are the decoded 24+16 payload, CRC
+        already checked against the winning antenna mask).
+        """
+        import jax.numpy as jnp
+
+        o = self.cell.ofdm
+        idx = jnp.asarray(self.re_idx)
+        y = grid.reshape(-1)[idx]
+        h0 = ce[0].reshape(-1)[idx]
+        h1 = ce[1].reshape(-1)[idx]
+        x1 = equalize_zf(y, h0)
+        x2 = alamouti_decode_2tx(y, h0, h1)
+        llr_hyp = jnp.stack([demod_soft(x1, Modulation.QPSK),
+                             demod_soft(x2, Modulation.QPSK)])  # [2, 480]
+        s = jnp.asarray(_scramble_signed(self.cell.id))
+        # place the 480 LLRs at each of the 4 quarters of the 1920 buffer
+        buf = jnp.zeros((2, 4, _E_TOTAL), jnp.float32)
+        for ph in range(4):
+            buf = buf.at[:, ph, 480 * ph : 480 * (ph + 1)].set(llr_hyp)
+        buf = (buf * s).reshape(8, _E_TOTAL)
+        de_rm = rm_conv_rx(buf, 3 * PAYLOAD)  # [8, 120]
+        bits = viterbi_decode(de_rm, PAYLOAD)  # [8, 40]
+        g = jnp.asarray(crc_matrix(MIB_LEN, *LTE_CRC16), jnp.int8)
+        calc = jnp.matmul(bits[:, :MIB_LEN].astype(jnp.int8), g,
+                          preferred_element_type=jnp.int32) & 1
+        rx = bits[:, MIB_LEN:].astype(jnp.int32)
+        masks = jnp.asarray(np.stack([ant_mask(1), ant_mask(2)]), jnp.int32)
+        ok = jnp.all(calc == (rx ^ masks[jnp.arange(8) // 4]), axis=-1)
+        win = jnp.argmax(ok)
+        return (bool(np.asarray(jnp.any(ok))), np.asarray(bits[win]),
+                int(np.asarray(win)) % 4, 1 if int(np.asarray(win)) < 4 else 2)

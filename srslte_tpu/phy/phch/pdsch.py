@@ -25,6 +25,7 @@ from ..mimo import alamouti_decode_2tx, alamouti_encode_2tx, equalize_zf
 from ..modem.modem import demod_soft, modulate
 from .dlsch import DlschConfig, dlsch_decode, dlsch_encode
 from .ra import DlGrant
+from .regs import nof_ctrl_symbols
 
 
 def sf_flags(sf_idx: int) -> tuple[bool, bool]:
@@ -34,10 +35,14 @@ def sf_flags(sf_idx: int) -> tuple[bool, bool]:
 
 @functools.lru_cache(maxsize=None)
 def reserved_mask(cell: Cell, cfi: int, has_pss_sss: bool, has_pbch: bool) -> np.ndarray:
-    """[nsym_sf, nof_re] True where PDSCH must NOT map."""
+    """[nsym_sf, nof_re] True where PDSCH must NOT map.
+
+    `cfi` is the CFI value; narrow cells (<=10 PRB) spend cfi+1 symbols on
+    control (36.212 §5.3.4, regs.c nof_ctrl_symbols).
+    """
     o = cell.ofdm
     m = crs_mask(cell).copy()
-    m[:cfi, :] = True  # control region
+    m[: nof_ctrl_symbols(cell, cfi), :] = True  # control region
     mid = o.nof_re // 2
     if has_pss_sss:
         # PSS symbol 6, SSS symbol 5 (normal CP slot 0), center 72 subcarriers
