@@ -1,0 +1,344 @@
+"""PUCCH: uplink control channel, formats 1/1a/1b and 2/2a/2b (36.211 §5.4).
+
+Reference behavior: lib/src/phy/phch/pucch.c + pucch_proc.c and
+ch_estimation/refsignal_ul.c (PUCCH DMRS):
+- cell-specific cyclic-shift hopping n_cs_cell(ns, l) from the Gold sequence
+  seeded with the cell id (srsran_pucch_n_cs_cell, pucch.c:1018),
+- format-1 resource algebra n' / n_oc / alpha (srsran_pucch_alpha_format1),
+- format-2 alpha (srsran_pucch_alpha_format2) and the (20, A) Reed-Muller
+  block code (uci.c M_basis_seq_pucch = 36.212 table 5.2.3.3-1),
+- OCC tables 5.4.1-2/3 and DMRS w̄ tables (refsignal_ul.c:46-56),
+- PRB mapping with slot hopping m -> n_PRB (36.211 §5.4.3).
+
+TPU-first: an entire PUCCH transmission is two [nsym_slot, 12] constant
+tensors (built host-side per resource/subframe bucket) scaled by the data
+symbol(s); decoding is despread-by-matmul + DMRS MRC, and the RM(20, A)
+decode correlates against the full 2^A codebook in one matmul (pucch.c
+decodes bit-serially).  Format 3 and shortened (SRS) subframes not yet done.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..chest.refsignal_ul import base_sequence
+from ..common.params import CP, Cell
+from ..common.sequence import gold_sequence
+from ..modem.modem import Modulation, demod_soft, modulate
+
+NRE = 12
+# data symbol indices within a slot (normal CP)
+F1_DATA_SYMS = (0, 1, 5, 6)
+F1_DMRS_SYMS = (2, 3, 4)
+F2_DATA_SYMS = (0, 2, 3, 4, 6)
+F2_DMRS_SYMS = (1, 5)
+
+# 36.211 tables 5.4.1-2/3: OCC phase arguments for N_sf=4 and N_sf=3
+_W_F1_DATA = np.array([[0, 0, 0, 0], [0, np.pi, 0, np.pi], [0, np.pi, np.pi, 0]])
+_W_F1_DMRS = np.array([[0, 0, 0], [0, 2 * np.pi / 3, 4 * np.pi / 3],
+                       [0, 4 * np.pi / 3, 2 * np.pi / 3]])
+
+# 36.212 table 5.2.3.3-1: (20, 13) Reed-Muller basis
+_RM20_BASIS = np.array([
+    [1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 0], [1, 1, 1, 0, 0, 0, 0, 0, 0, 1, 1, 1, 0],
+    [1, 0, 0, 1, 0, 0, 1, 0, 1, 1, 1, 1, 1], [1, 0, 1, 1, 0, 0, 0, 0, 1, 0, 1, 1, 1],
+    [1, 1, 1, 1, 0, 0, 0, 1, 0, 0, 1, 1, 1], [1, 1, 0, 0, 1, 0, 1, 1, 1, 0, 1, 1, 1],
+    [1, 0, 1, 0, 1, 0, 1, 0, 1, 1, 1, 1, 1], [1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 1, 1, 1],
+    [1, 1, 0, 1, 1, 0, 0, 1, 0, 1, 1, 1, 1], [1, 0, 1, 1, 1, 0, 1, 0, 0, 1, 1, 1, 1],
+    [1, 0, 1, 0, 0, 1, 1, 1, 0, 1, 1, 1, 1], [1, 1, 1, 0, 0, 1, 1, 0, 1, 0, 1, 1, 1],
+    [1, 0, 0, 1, 0, 1, 0, 1, 1, 1, 1, 1, 1], [1, 1, 0, 1, 0, 1, 0, 1, 0, 1, 1, 1, 1],
+    [1, 0, 0, 0, 1, 1, 0, 1, 0, 0, 1, 0, 1], [1, 1, 0, 0, 1, 1, 1, 1, 0, 1, 1, 0, 1],
+    [1, 1, 1, 0, 1, 1, 1, 0, 0, 1, 0, 1, 1], [1, 0, 0, 1, 1, 1, 0, 0, 1, 0, 0, 1, 1],
+    [1, 1, 0, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], [1, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0],
+], np.uint8)
+
+
+def rm20_encode(bits: np.ndarray) -> np.ndarray:
+    """(20, A) block code, A <= 13: bits [A] -> codeword [20]."""
+    a = len(bits)
+    return (_RM20_BASIS[:, :a] @ np.asarray(bits, np.uint8)) % 2
+
+
+@functools.lru_cache(maxsize=None)
+def _rm20_codebook(a: int) -> np.ndarray:
+    """All 2^a codewords as ±1 rows [2^a, 20] (+1 for bit 0)."""
+    msgs = (np.arange(2**a)[:, None] >> np.arange(a)[None, :]) & 1
+    cws = (msgs.astype(np.uint8) @ _RM20_BASIS[:, :a].T) % 2
+    return (1.0 - 2.0 * cws.astype(np.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def n_cs_cell(cell: Cell) -> np.ndarray:
+    """[20 slots, nsymb] cell cyclic-shift hopping (pucch.c:1018)."""
+    nsym = cell.cp.nsymb
+    c = gold_sequence(cell.id, 8 * nsym * 20)
+    ns, l, i = np.meshgrid(np.arange(20), np.arange(nsym), np.arange(8),
+                           indexing="ij")
+    bits = c[8 * nsym * ns + 8 * l + i]
+    return (bits << i).sum(axis=-1).astype(np.int64)
+
+
+@dataclass(frozen=True)
+class PucchConfig:
+    fmt: str  # '1' | '1a' | '1b' | '2' | '2a' | '2b'
+    n_pucch: int
+    delta_shift: int = 1
+    n_cs_1: int = 0  # N_cs^(1)
+    n_rb_2: int = 0  # N_RB^(2)
+
+    @property
+    def is_format1(self) -> bool:
+        return self.fmt.startswith("1")
+
+    @property
+    def nof_ack_bits(self) -> int:
+        return {"1": 0, "1a": 1, "1b": 2, "2": 0, "2a": 1, "2b": 2}[self.fmt]
+
+
+def _alpha_format1(cell: Cell, cfg: PucchConfig, ns: int, l: int):
+    """-> (alpha, n_oc, n_prime) per srsran_pucch_alpha_format1 semantics."""
+    c = 3 if cell.cp is CP.NORM else 2
+    thr = c * cfg.n_cs_1 // cfg.delta_shift
+    n_prime_res = cfg.n_cs_1 if cfg.n_pucch < thr else NRE
+    n_prime = cfg.n_pucch
+    if cfg.n_pucch >= thr:
+        n_prime = (cfg.n_pucch - thr) % (c * NRE // cfg.delta_shift)
+    if ns % 2:
+        if cfg.n_pucch >= thr:
+            n_prime = (c * (n_prime + 1)) % (c * NRE // cfg.delta_shift + 1) - 1
+        else:
+            d = 2 if cell.cp is CP.NORM else 0
+            h = (n_prime + d) % (c * n_prime_res // cfg.delta_shift)
+            n_prime = h // c + (h % c) * n_prime_res // cfg.delta_shift
+    n_oc = n_prime * cfg.delta_shift // n_prime_res
+    ncs = (int(n_cs_cell(cell)[ns, l])
+           + (n_prime * cfg.delta_shift + n_oc % cfg.delta_shift) % n_prime_res) % NRE
+    return 2 * np.pi * ncs / NRE, n_oc, n_prime
+
+
+def _alpha_format2(cell: Cell, cfg: PucchConfig, ns: int, l: int) -> float:
+    n_prime = cfg.n_pucch % NRE
+    if cfg.n_pucch >= NRE * cfg.n_rb_2:
+        n_prime = (cfg.n_pucch + cfg.n_cs_1 + 1) % NRE
+    if ns % 2:
+        n_prime = (NRE * (n_prime + 1)) % (NRE + 1) - 1
+        if cfg.n_pucch >= NRE * cfg.n_rb_2:
+            n_prime = (NRE - 2 - cfg.n_pucch) % NRE
+    ncs = (int(n_cs_cell(cell)[ns, l]) + n_prime) % NRE
+    return 2 * np.pi * ncs / NRE
+
+
+def pucch_m(cell: Cell, cfg: PucchConfig) -> int:
+    """PRB-pair index m (36.211 §5.4.3, srsran_pucch_m)."""
+    if cfg.is_format1:
+        c = 3 if cell.cp is CP.NORM else 2
+        thr = c * cfg.n_cs_1 // cfg.delta_shift
+        if cfg.n_pucch < thr:
+            return cfg.n_rb_2
+        return ((cfg.n_pucch - thr) // (c * NRE // cfg.delta_shift)
+                + cfg.n_rb_2 + int(np.ceil(cfg.n_cs_1 / 8)))
+    return cfg.n_pucch // NRE
+
+
+def pucch_prb(cell: Cell, cfg: PucchConfig, ns: int) -> int:
+    m = pucch_m(cell, cfg)
+    if (m + ns) % 2 == 0:
+        return m // 2
+    return cell.n_prb - 1 - m // 2
+
+
+def _rseq(cell: Cell, alpha: float) -> np.ndarray:
+    """r_u^alpha over 12 subcarriers (group u = cell_id mod 30, no hopping)."""
+    u = cell.id % 30
+    n = np.arange(NRE)
+    return (base_sequence(u, 0, 1) * np.exp(1j * alpha * n)).astype(np.complex64)
+
+
+@functools.lru_cache(maxsize=None)
+def _format1_tables(cell: Cell, cfg_key: tuple, sf_idx: int):
+    """(data_seq [2,4,12], dmrs_seq [2,3,12], prb [2]) — d0-independent."""
+    cfg = PucchConfig(*cfg_key)
+    data, dmrs, prbs = [], [], []
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        prbs.append(pucch_prb(cell, cfg, ns))
+        drow, mrow = [], []
+        for m, l in enumerate(F1_DATA_SYMS):
+            alpha, n_oc, n_prime = _alpha_format1(cell, cfg, ns, l)
+            s_ns = np.pi / 2 if n_prime % 2 else 0.0
+            w = np.exp(1j * (_W_F1_DATA[n_oc % 3][m] + s_ns))
+            drow.append(_rseq(cell, alpha) * w)
+        for m, l in enumerate(F1_DMRS_SYMS):
+            alpha, n_oc, _ = _alpha_format1(cell, cfg, ns, l)
+            w = np.exp(1j * _W_F1_DMRS[n_oc % 3][m])
+            mrow.append(_rseq(cell, alpha) * w)
+        data.append(np.stack(drow))
+        dmrs.append(np.stack(mrow))
+    return np.stack(data).astype(np.complex64), np.stack(dmrs).astype(np.complex64), prbs
+
+
+@functools.lru_cache(maxsize=None)
+def _format2_tables(cell: Cell, cfg_key: tuple, sf_idx: int):
+    """(data_seq [2,5,12], dmrs_seq [2,2,12], prb [2])."""
+    cfg = PucchConfig(*cfg_key)
+    data, dmrs, prbs = [], [], []
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        prbs.append(pucch_prb(cell, cfg, ns))
+        data.append(np.stack([_rseq(cell, _alpha_format2(cell, cfg, ns, l))
+                              for l in F2_DATA_SYMS]))
+        dmrs.append(np.stack([_rseq(cell, _alpha_format2(cell, cfg, ns, l))
+                              for l in F2_DMRS_SYMS]))
+    return np.stack(data).astype(np.complex64), np.stack(dmrs).astype(np.complex64), prbs
+
+
+def _f2_scramble_signed(cell: Cell, rnti: int, sf_idx: int) -> np.ndarray:
+    c_init = ((sf_idx + 1) * (2 * cell.id + 1) << 16) + rnti
+    return 1.0 - 2.0 * gold_sequence(c_init, 20).astype(np.float32)
+
+
+def _d_ack(bits: tuple) -> complex:
+    """1a/1b/2a/2b ACK modulation (uci.c uci_encode_format1a/b)."""
+    if len(bits) == 0:
+        return 1.0 + 0j
+    if len(bits) == 1:
+        return -1.0 + 0j if bits[0] else 1.0 + 0j
+    return {(0, 0): 1, (0, 1): -1j, (1, 0): 1j, (1, 1): -1}[tuple(bits)] + 0j
+
+
+@dataclass(frozen=True)
+class Pucch:
+    """PUCCH processor for one (cell, config, sf_idx, rnti) bucket."""
+
+    cell: Cell
+    cfg: PucchConfig
+    sf_idx: int
+    rnti: int = 0
+
+    def __post_init__(self):
+        if self.cell.cp is not CP.NORM:
+            raise NotImplementedError("extended-CP PUCCH not yet supported")
+
+    @property
+    def _key(self):
+        c = self.cfg
+        return (c.fmt, c.n_pucch, c.delta_shift, c.n_cs_1, c.n_rb_2)
+
+    def _slot_res(self, grid, slot: int, prb: int, syms):
+        o = self.cell.ofdm
+        k0 = prb * NRE
+        ls = np.asarray(syms) + slot * o.nsymb_slot
+        return grid[..., ls, k0 : k0 + NRE]
+
+    # -- UE side --------------------------------------------------------------
+    def encode(self, ack_bits=(), cqi_bits=(), grid=None):
+        """Encode into an UL grid [..., nsymb_sf, nof_re]."""
+        import jax.numpy as jnp
+
+        o = self.cell.ofdm
+        if grid is None:
+            grid = jnp.zeros((o.nsymb_sf, o.nof_re), jnp.complex64)
+        if self.cfg.is_format1:
+            data, dmrs, prbs = _format1_tables(self.cell, self._key, self.sf_idx)
+            d0 = _d_ack(tuple(ack_bits))
+            dsy, msy = F1_DATA_SYMS, F1_DMRS_SYMS
+            dvals = jnp.asarray(data) * d0
+            mvals = jnp.asarray(dmrs)
+        else:
+            data, dmrs, prbs = _format2_tables(self.cell, self._key, self.sf_idx)
+            cw = rm20_encode(np.asarray(cqi_bits, np.uint8))
+            s = _f2_scramble_signed(self.cell, self.rnti, self.sf_idx)
+            sym = np.asarray(modulate(
+                jnp.asarray((cw ^ (s < 0).astype(np.uint8))), Modulation.QPSK))
+            dsy, msy = F2_DATA_SYMS, F2_DMRS_SYMS
+            dvals = jnp.asarray(data * sym.reshape(2, 5)[..., None])
+            d10 = _d_ack(tuple(ack_bits))
+            dm = dmrs.copy()
+            dm[:, 1, :] *= d10  # 2a/2b: second DMRS symbol carries the ACK
+            mvals = jnp.asarray(dm)
+        for slot in range(2):
+            k0 = prbs[slot] * NRE
+            ls_d = np.asarray(dsy) + slot * o.nsymb_slot
+            ls_m = np.asarray(msy) + slot * o.nsymb_slot
+            grid = grid.at[..., ls_d[:, None], k0 + np.arange(NRE)[None, :]].set(
+                dvals[slot])
+            grid = grid.at[..., ls_m[:, None], k0 + np.arange(NRE)[None, :]].set(
+                mvals[slot])
+        return grid
+
+    # -- eNB side -------------------------------------------------------------
+    def decode(self, grid, nof_cqi_bits: int = 0):
+        """-> dict with detected bits and metrics.
+
+        Format 1a/1b: {'ack': [n] bits, 'metric': correlation power}.
+        Format 2/2a/2b: {'cqi': [A] bits, 'ack': [...], 'metric': ...}.
+        DMRS-based MRC per slot, despread by matmul (batched over grid dims).
+        """
+        import jax.numpy as jnp
+
+        if self.cfg.is_format1:
+            data, dmrs, prbs = _format1_tables(self.cell, self._key, self.sf_idx)
+            corr = 0.0 + 0j
+            energy = 0.0
+            for slot in range(2):
+                y_d = self._slot_res(grid, slot, prbs[slot], F1_DATA_SYMS)
+                y_m = self._slot_res(grid, slot, prbs[slot], F1_DMRS_SYMS)
+                h = jnp.mean(y_m * jnp.conj(jnp.asarray(dmrs[slot])), axis=(-1, -2))
+                z = jnp.mean(y_d * jnp.conj(jnp.asarray(data[slot])), axis=(-1, -2))
+                corr = corr + z * jnp.conj(h)
+                energy = energy + jnp.abs(h) ** 2
+            d0 = corr / jnp.maximum(energy, 1e-12)
+            nb = self.cfg.nof_ack_bits
+            if nb == 0:
+                return {"detected": jnp.abs(d0) > 0.5, "metric": jnp.abs(d0)}
+            if nb == 1:
+                return {"ack": (d0.real < 0)[..., None].astype(jnp.uint8),
+                        "metric": jnp.abs(d0)}
+            # QPSK map (36.211 table 5.4.1-1): 1->(0,0), -j->(0,1), j->(1,0), -1->(1,1)
+            cands = jnp.asarray(np.array([1, -1j, 1j, -1], np.complex64))
+            dist = jnp.abs(d0[..., None] - cands)
+            best = jnp.argmin(dist, axis=-1)
+            bits = jnp.stack([(best >> 1) & 1, best & 1], axis=-1).astype(jnp.uint8)
+            return {"ack": bits, "metric": jnp.abs(d0)}
+
+        data, dmrs, prbs = _format2_tables(self.cell, self._key, self.sf_idx)
+        zs, hs = [], []
+        for slot in range(2):
+            y_d = self._slot_res(grid, slot, prbs[slot], F2_DATA_SYMS)
+            y_m = self._slot_res(grid, slot, prbs[slot], F2_DMRS_SYMS)
+            h_sym = y_m * jnp.conj(jnp.asarray(dmrs[slot]))  # [..., 2, 12]
+            h = jnp.mean(h_sym[..., 0, :], axis=-1)  # first DMRS: always clean
+            z = jnp.mean(y_d * jnp.conj(jnp.asarray(data[slot])), axis=-1)
+            zs.append(z * jnp.conj(h)[..., None])
+            hs.append(h_sym)
+        q = jnp.concatenate(zs, axis=-1)  # [..., 10] QPSK estimates
+        llr = demod_soft(q, Modulation.QPSK)  # [..., 20]
+        llr = llr * jnp.asarray(_f2_scramble_signed(self.cell, self.rnti, self.sf_idx))
+        out = {}
+        if nof_cqi_bits:
+            cb = jnp.asarray(_rm20_codebook(nof_cqi_bits))
+            sc = -jnp.einsum("...n,cn->...c", llr, cb)
+            best = jnp.argmax(sc, axis=-1)
+            bits = (best[..., None] >> jnp.arange(nof_cqi_bits)) & 1
+            out["cqi"] = bits.astype(jnp.uint8)
+            out["metric"] = (jnp.take_along_axis(sc, best[..., None], -1)[..., 0]
+                             / jnp.maximum(jnp.sum(jnp.abs(llr), -1), 1e-9))
+        nb = self.cfg.nof_ack_bits
+        if nb:
+            # ACK rides on the 2nd DMRS symbol of each slot: d10 = h2 / h1
+            num = 0.0 + 0j
+            for h_sym in hs:
+                num = num + jnp.mean(h_sym[..., 1, :], axis=-1) * jnp.conj(
+                    jnp.mean(h_sym[..., 0, :], axis=-1))
+            if nb == 1:
+                out["ack"] = (num.real < 0)[..., None].astype(jnp.uint8)
+            else:
+                cands = jnp.asarray(np.array([1, -1j, 1j, -1], np.complex64))
+                d10 = num / jnp.maximum(jnp.abs(num), 1e-12)
+                best = jnp.argmin(jnp.abs(d10[..., None] - cands), axis=-1)
+                out["ack"] = jnp.stack([(best >> 1) & 1, best & 1],
+                                       axis=-1).astype(jnp.uint8)
+        return out

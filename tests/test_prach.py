@@ -1,0 +1,64 @@
+"""PRACH tests — analog of lib/src/phy/phch/test/prach_test.c: generate every
+preamble, detect it back (with delay + noise), assert index and timing."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srslte_tpu.phy.common.params import OfdmParams
+from srslte_tpu.phy.phch.prach import PrachConfig, prach_detect, prach_gen
+
+
+def test_preamble_lengths_format0():
+    cfg = PrachConfig(OfdmParams(6))
+    assert cfg.n_fft == 1536
+    assert cfg.n_cp == 198
+    assert cfg.n_seq == 1536
+    s = prach_gen(cfg, 0)
+    assert len(s) == cfg.n_total
+    # CP is cyclic
+    np.testing.assert_allclose(s[: cfg.n_cp], s[cfg.n_seq :], atol=1e-6)
+
+
+def test_prach_detect_all_preambles_clean():
+    cfg = PrachConfig(OfdmParams(6), root_u=129, zero_corr_cfg=7)  # ncs=38
+    for idx in (0, 1, 21, 22, 63):
+        s = prach_gen(cfg, idx)
+        det, metric, toff = prach_detect(cfg, jnp.asarray(s))
+        det = np.asarray(det)
+        assert det[idx], (idx, np.asarray(metric)[idx])
+        assert det.sum() == 1, np.where(det)[0]
+        assert int(np.asarray(toff)[idx]) == 0
+
+
+def test_prach_detect_with_delay_and_noise():
+    rng = np.random.default_rng(3)
+    cfg = PrachConfig(OfdmParams(6), zero_corr_cfg=7)
+    idx, delay = 17, 30
+    s = prach_gen(cfg, idx)
+    x = np.zeros(cfg.n_total + 256, np.complex64)
+    x[delay : delay + len(s)] = s
+    x += 0.1 * (rng.standard_normal(len(x)) + 1j * rng.standard_normal(len(x)))
+    det, metric, toff = prach_detect(cfg, jnp.asarray(x.astype(np.complex64)))
+    det = np.asarray(det)
+    assert det[idx]
+    got = int(np.asarray(toff)[idx])
+    assert abs(got - delay) <= 2, got
+
+
+def test_prach_no_false_alarm_on_noise():
+    rng = np.random.default_rng(5)
+    cfg = PrachConfig(OfdmParams(6), zero_corr_cfg=7)
+    x = (rng.standard_normal(cfg.n_total) + 1j * rng.standard_normal(cfg.n_total)
+         ).astype(np.complex64)
+    det, metric, _ = prach_detect(cfg, jnp.asarray(x))
+    assert not np.asarray(det).any(), np.asarray(metric).max()
+
+
+def test_prach_batched_windows():
+    cfg = PrachConfig(OfdmParams(6), zero_corr_cfg=7)
+    xs = np.stack([prach_gen(cfg, 3), prach_gen(cfg, 40)])
+    det, _, _ = prach_detect(cfg, jnp.asarray(xs))
+    det = np.asarray(det)
+    assert det[0, 3] and det[1, 40]
+    assert det.sum() == 2

@@ -1,0 +1,117 @@
+"""PUCCH tests — analog of lib/src/phy/phch/test/pucch_test.c: encode each
+format into the UL grid, decode back through SC-FDMA + channel."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srslte_tpu.phy.common.params import Cell
+from srslte_tpu.phy.ofdm import Ofdm
+from srslte_tpu.phy.phch.pucch import (Pucch, PucchConfig, pucch_prb,
+                                       rm20_encode)
+
+
+def _roundtrip(cell, pucch, snr_db=20.0, seed=0, **enc):
+    """encode -> SC-FDMA -> AWGN -> SC-FDMA demod -> grid."""
+    rng = np.random.default_rng(seed)
+    tx = Ofdm(cell.ofdm, normalize=True, freq_shift=0.5)
+    rx = Ofdm(cell.ofdm, normalize=True, freq_shift=-0.5)
+    g = pucch.encode(**enc)
+    s = np.asarray(tx.tx_sf(g))
+    h = 0.9 * np.exp(1j * 0.8)
+    sig = np.mean(np.abs(s) ** 2) * abs(h) ** 2
+    sigma = np.sqrt(sig / 10 ** (snr_db / 10) / 2)
+    noisy = h * s + sigma * (rng.standard_normal(s.shape)
+                             + 1j * rng.standard_normal(s.shape))
+    return rx.rx_sf(jnp.asarray(noisy.astype(np.complex64)))
+
+
+def test_rm20_linearity_and_distance():
+    z = rm20_encode(np.zeros(4, np.uint8))
+    assert not z.any()
+    cws = [rm20_encode(np.array([(i >> k) & 1 for k in range(4)], np.uint8))
+           for i in range(16)]
+    dmin = min(np.sum(a != b) for i, a in enumerate(cws)
+               for b in cws[i + 1 :])
+    assert dmin >= 6  # RM(20,4) minimum distance
+
+
+def test_pucch_prb_slot_hopping():
+    cell = Cell(n_prb=25, id=7)
+    cfg = PucchConfig("1a", n_pucch=3)
+    p0 = pucch_prb(cell, cfg, 0)
+    p1 = pucch_prb(cell, cfg, 1)
+    assert p0 + p1 == cell.n_prb - 1  # mirrored across the band
+
+
+@pytest.mark.parametrize("bits", [(0,), (1,)])
+def test_pucch_format1a_roundtrip(bits):
+    cell = Cell(n_prb=25, id=77)
+    pucch = Pucch(cell, PucchConfig("1a", n_pucch=11), sf_idx=3)
+    grid = _roundtrip(cell, pucch, ack_bits=bits, seed=sum(bits))
+    out = pucch.decode(grid)
+    assert tuple(np.asarray(out["ack"])) == bits
+    assert float(np.asarray(out["metric"])) > 0.5
+
+
+@pytest.mark.parametrize("bits", [(0, 0), (0, 1), (1, 0), (1, 1)])
+def test_pucch_format1b_roundtrip(bits):
+    cell = Cell(n_prb=6, id=13)
+    pucch = Pucch(cell, PucchConfig("1b", n_pucch=0), sf_idx=8)
+    grid = _roundtrip(cell, pucch, ack_bits=bits, seed=bits[0] * 2 + bits[1])
+    out = pucch.decode(grid)
+    assert tuple(np.asarray(out["ack"])) == bits
+
+
+def test_pucch_format1_resources_orthogonal():
+    """Two UEs on different n_pucch in the same PRB must not collide."""
+    cell = Cell(n_prb=25, id=5)
+    p_a = Pucch(cell, PucchConfig("1a", n_pucch=0), sf_idx=2)
+    p_b = Pucch(cell, PucchConfig("1a", n_pucch=1), sf_idx=2)
+    g = p_a.encode(ack_bits=(1,))
+    g = p_b.encode(ack_bits=(0,), grid=g)
+    out_a = p_a.decode(g)
+    out_b = p_b.decode(g)
+    assert tuple(np.asarray(out_a["ack"])) == (1,)
+    assert tuple(np.asarray(out_b["ack"])) == (0,)
+
+
+@pytest.mark.parametrize("a", [4, 7, 11])
+def test_pucch_format2_cqi_roundtrip(a):
+    rng = np.random.default_rng(a)
+    cell = Cell(n_prb=25, id=91)
+    pucch = Pucch(cell, PucchConfig("2", n_pucch=5), sf_idx=1, rnti=0x3C)
+    cqi = tuple(rng.integers(0, 2, a).tolist())
+    grid = _roundtrip(cell, pucch, cqi_bits=cqi, seed=a)
+    out = pucch.decode(grid, nof_cqi_bits=a)
+    assert tuple(np.asarray(out["cqi"])) == cqi
+
+
+def test_pucch_format2b_cqi_plus_ack():
+    cell = Cell(n_prb=50, id=17)
+    pucch = Pucch(cell, PucchConfig("2b", n_pucch=20), sf_idx=6, rnti=0x99)
+    cqi = (1, 0, 1, 1)
+    grid = _roundtrip(cell, pucch, cqi_bits=cqi, ack_bits=(1, 0), seed=3)
+    out = pucch.decode(grid, nof_cqi_bits=4)
+    assert tuple(np.asarray(out["cqi"])) == cqi
+    assert tuple(np.asarray(out["ack"])) == (1, 0)
+
+
+def test_srs_roundtrip():
+    from srslte_tpu.phy.phch.srs import Srs, SrsConfig
+
+    cell = Cell(n_prb=25, id=31)
+    srs = Srs(cell, SrsConfig(m_srs=8, k0_prb=2, comb=1, n_srs_cs=3))
+    tx = Ofdm(cell.ofdm, normalize=True, freq_shift=0.5)
+    rx = Ofdm(cell.ofdm, normalize=True, freq_shift=-0.5)
+    g = srs.encode(jnp.zeros((cell.ofdm.nsymb_sf, cell.ofdm.nof_re), jnp.complex64))
+    s = np.asarray(tx.tx_sf(g))
+    h_true = 0.7 * np.exp(1j * 1.1)
+    rng = np.random.default_rng(0)
+    noisy = h_true * s + 0.01 * (rng.standard_normal(s.shape)
+                                 + 1j * rng.standard_normal(s.shape))
+    grid = rx.rx_sf(jnp.asarray(noisy.astype(np.complex64)))
+    h, noise, power = srs.estimate(grid)
+    est = np.mean(np.asarray(h))
+    assert abs(est - h_true) < 0.05
+    assert float(np.asarray(noise)) < 1e-2

@@ -1,0 +1,94 @@
+"""UL chain tests: DFT precoding, UL DMRS, chest_ul, PUSCH e2e.
+
+Analog of lib/src/phy/phch/test/pusch_test.c self-checking loops.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srslte_tpu.phy.chest.refsignal_ul import base_sequence, pusch_dmrs
+from srslte_tpu.phy.common.params import Cell
+from srslte_tpu.phy.enb.enb_ul import EnbUl
+from srslte_tpu.phy.phch.dft_precoding import (dft_deprecode, dft_precode,
+                                               valid_prb)
+from srslte_tpu.phy.phch.pusch import Pusch, interleaver_indices
+from srslte_tpu.phy.phch.ra_ul import UlGrant, ul_tbs
+from srslte_tpu.phy.ue.ue_ul import UeUl
+
+
+def test_valid_prb():
+    valid = [n for n in range(1, 101) if valid_prb(n)]
+    assert 7 not in valid and 14 not in valid
+    assert {1, 2, 3, 4, 5, 6, 8, 9, 10, 12, 15, 16, 18, 20, 24, 25}.issubset(valid)
+
+
+def test_dft_precode_roundtrip():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((3, 12, 300)) + 1j * rng.standard_normal((3, 12, 300))
+         ).astype(np.complex64)
+    y = dft_precode(jnp.asarray(x))
+    z = dft_deprecode(y)
+    np.testing.assert_allclose(np.asarray(z), x, atol=1e-4)
+    # power preserved
+    np.testing.assert_allclose(np.mean(np.abs(np.asarray(y)) ** 2),
+                               np.mean(np.abs(x) ** 2), rtol=1e-5)
+
+
+def test_base_sequence_properties():
+    for u in (0, 7, 29):
+        r = base_sequence(u, 0, 6)
+        np.testing.assert_allclose(np.abs(r), 1.0, atol=1e-6)
+        assert len(r) == 72
+    # distinct groups are (near-)orthogonal-ish: just check not equal
+    assert not np.allclose(base_sequence(0, 0, 6), base_sequence(1, 0, 6))
+
+
+def test_pusch_dmrs_slots_differ_by_cyclic_shift():
+    cell = Cell(n_prb=25, id=17)
+    d = pusch_dmrs(cell, 3, 4)
+    assert d.shape == (2, 48)
+    np.testing.assert_allclose(np.abs(d), 1.0, atol=1e-6)
+
+
+def test_interleaver_is_permutation():
+    idx = interleaver_indices(12 * 48 * 2, 2, 12)
+    assert sorted(idx.tolist()) == list(range(len(idx)))
+
+
+@pytest.mark.parametrize("n_prb_alloc,mcs", [(4, 6), (8, 14), (24, 24)])
+def test_pusch_e2e_ideal(n_prb_alloc, mcs):
+    cell = Cell(n_prb=25, id=42)
+    grant = UlGrant(prb_start=1, n_prb=n_prb_alloc, mcs=mcs)
+    pusch = Pusch(cell, grant, sf_idx=2, rnti=0x77)
+    ue, enb = UeUl(cell), EnbUl(cell)
+    rng = np.random.default_rng(mcs)
+    bits = rng.integers(0, 2, (grant.tbs,)).astype(np.uint8)
+    s = ue.encode_pusch(pusch, jnp.asarray(bits))
+    out, ok, info = enb.decode_pusch(s, pusch)
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(out), bits)
+    assert float(np.asarray(info["noise"])) < 1e-3
+
+
+def test_pusch_e2e_channel_noise():
+    cell = Cell(n_prb=50, id=101)
+    grant = UlGrant(prb_start=10, n_prb=16, mcs=16)  # 16QAM
+    pusch = Pusch(cell, grant, sf_idx=7, rnti=0x155)
+    ue, enb = UeUl(cell), EnbUl(cell)
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, (grant.tbs,)).astype(np.uint8)
+    s = np.asarray(ue.encode_pusch(pusch, jnp.asarray(bits)))
+    h = 0.8 * np.exp(1j * 0.7)
+    snr_db = 20.0
+    sig = np.mean(np.abs(s) ** 2)
+    sigma = np.sqrt(sig * abs(h) ** 2 / 10 ** (snr_db / 10) / 2)
+    rx = h * s + sigma * (rng.standard_normal(s.shape) + 1j * rng.standard_normal(s.shape))
+    out, ok, info = enb.decode_pusch(jnp.asarray(rx.astype(np.complex64)), pusch)
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(out), bits)
+
+
+def test_ul_tbs_table():
+    assert ul_tbs(0, 1) == 16
+    assert ul_tbs(20, 50) == ul_tbs(19 + 1, 50)
