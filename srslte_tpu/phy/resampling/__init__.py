@@ -1,0 +1,1 @@
+from .resampler import resample_fft, interp_linear_cf

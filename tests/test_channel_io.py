@@ -1,0 +1,137 @@
+"""Channel emulator / resampling / io / agc tests.
+
+Analog of lib/src/phy/channel/test and io tests: statistical checks on the
+impairments plus a full PDSCH-over-fading decode (SURVEY.md §7 warns halo
+bugs pass AWGN but fail fading — this is that gate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srslte_tpu.phy.agc import Agc
+from srslte_tpu.phy.channel import (PROFILES, FadingChannel, awgn,
+                                    fractional_delay, rlf_mask)
+from srslte_tpu.phy.io import FileSink, FileSource
+from srslte_tpu.phy.resampling import interp_linear_cf, resample_fft
+
+
+def test_awgn_snr():
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones(100_000, jnp.complex64)
+    y = awgn(key, x, 10.0)
+    noise = np.asarray(y) - 1.0
+    snr = 1.0 / np.mean(np.abs(noise) ** 2)
+    assert abs(10 * np.log10(snr) - 10.0) < 0.3
+
+
+def test_fractional_delay_integer_matches_roll():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)).astype(np.complex64)
+    y = np.asarray(fractional_delay(jnp.asarray(x), 7))
+    np.testing.assert_allclose(y, np.roll(x, 7), atol=1e-4)
+
+
+def test_rlf_mask_duty_cycle():
+    m = np.asarray(rlf_mask(10_000, 10_000, t_on_ms=800.0, t_off_ms=200.0))
+    assert abs(m.mean() - 0.8) < 0.01
+
+
+@pytest.mark.parametrize("profile", ["epa", "eva", "etu"])
+def test_fading_power_and_rayleigh(profile):
+    x = jnp.ones(64 * 2048, jnp.complex64)
+    powers, cvs = [], []
+    for seed in range(4):
+        ch = FadingChannel(profile, doppler_hz=300.0, srate=1_920_000, seed=seed)
+        y = np.asarray(ch(x))
+        powers.append(np.mean(np.abs(y) ** 2))
+        env = np.abs(y.reshape(-1, 2048)).mean(axis=1)
+        cvs.append(env.std() / env.mean())
+    # unit average power (tap powers normalized; Rayleigh realizations vary)
+    assert abs(np.mean(powers) - 1.0) < 0.4, powers
+    # time-varying envelope (Doppler)
+    assert np.mean(cvs) > 0.1
+
+
+def test_fading_static_is_lti():
+    ch = FadingChannel("epa", doppler_hz=0.0, srate=1_920_000, seed=2)
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)).astype(np.complex64)
+    y1 = np.asarray(ch(jnp.asarray(x)))
+    y2 = np.asarray(ch(jnp.asarray(np.roll(x, 2048))))
+    # block boundary correctness: shifted input -> shifted output
+    np.testing.assert_allclose(y2[4096:6144], np.roll(y1, 2048)[4096:6144],
+                               atol=1e-3)
+
+
+def test_pdsch_over_etu_fading():
+    """The halo gate: full DL chain through a delay-spread channel."""
+    from srslte_tpu.phy.common.params import Cell
+    from srslte_tpu.phy.enb.enb_dl import EnbDl
+    from srslte_tpu.phy.phch.pdsch import Pdsch
+    from srslte_tpu.phy.phch.ra import DlGrant
+    from srslte_tpu.phy.ue.ue_dl import UeDl
+
+    cell = Cell(n_prb=25, id=9)
+    grant = DlGrant.full(25, 6)  # QPSK, robust
+    pdsch = Pdsch(cell, grant, sf_idx=4, rnti=0x10)
+    enb, ue = EnbDl(cell), UeDl(cell)
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, (grant.tbs,)).astype(np.uint8)
+    g = enb.put_base(enb.empty_grids(), 4)
+    g = enb.put_pdsch(g, pdsch, jnp.asarray(bits))
+    s = enb.gen_signal(g)[..., 0, :]
+    ch = FadingChannel("etu", doppler_hz=5.0, srate=cell.ofdm.srate, seed=4)
+    faded = ch(s)
+    noisy = awgn(jax.random.PRNGKey(7), faded, 20.0)
+    out, ok, info = ue.decode_pdsch(noisy, pdsch)
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(out), bits)
+
+
+def test_resample_fft_roundtrip():
+    rng = np.random.default_rng(1)
+    # bandlimited signal: random spectrum limited to 1/4 band
+    n = 1920
+    xf = np.zeros(n, np.complex64)
+    xf[: n // 8] = rng.standard_normal(n // 8) + 1j * rng.standard_normal(n // 8)
+    xf[-n // 8 :] = rng.standard_normal(n // 8) + 1j * rng.standard_normal(n // 8)
+    x = np.fft.ifft(xf).astype(np.complex64)
+    up = np.asarray(resample_fft(jnp.asarray(x), 2, 1))
+    assert len(up) == 2 * n
+    down = np.asarray(resample_fft(jnp.asarray(up), 1, 2))
+    np.testing.assert_allclose(down, x, atol=1e-5)
+    # 1.92M -> 23.04M (the ZMQ base-rate ratio 12) and back
+    up12 = np.asarray(resample_fft(jnp.asarray(x), 12, 1))
+    back = np.asarray(resample_fft(jnp.asarray(up12), 1, 12))
+    np.testing.assert_allclose(back, x, atol=1e-5)
+
+
+def test_interp_linear():
+    x = jnp.asarray(np.array([0, 2, 4], np.complex64))
+    y = np.asarray(interp_linear_cf(x, 2))
+    np.testing.assert_allclose(y.real, [0, 1, 2, 3, 4, 4], atol=1e-6)
+
+
+def test_file_source_sink_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    x = 0.2 * (rng.standard_normal(1000) + 1j * rng.standard_normal(1000)).astype(np.complex64)
+    for fmt, atol in [("complex_float_bin", 1e-7), ("complex_short_bin", 1e-3)]:
+        p = str(tmp_path / f"s.{fmt}")
+        sink = FileSink(p, fmt)
+        sink.write(x)
+        sink.close()
+        src = FileSource(p, fmt)
+        y = src.read(1000)
+        assert len(src.read(10)) == 0  # EOF
+        src.close()
+        np.testing.assert_allclose(y, x, atol=atol)
+
+
+def test_agc_converges():
+    rng = np.random.default_rng(3)
+    x = 0.01 * (rng.standard_normal(32 * 1024) + 1j * rng.standard_normal(32 * 1024))
+    agc = Agc(target=0.3)
+    y, gains, rssi = agc.process(jnp.asarray(x.astype(np.complex64)), 1024)
+    final_rms = np.sqrt(np.mean(np.abs(np.asarray(y)[-4096:]) ** 2))
+    assert abs(final_rms - 0.3) / 0.3 < 0.15
