@@ -152,7 +152,7 @@ def _siso_windowed(sys_apr, par, tail_x, tail_z, L: int, T: int):
 
     preds, succs = _trellis_unrolled()
     B, K = sys_apr.shape
-    W = K // L
+    W = -(-K // L)  # last window may be partially inactive (K % L != 0)
     N = B * W
     w_starts = np.arange(W) * L
 
@@ -229,15 +229,13 @@ def _siso_windowed(sys_apr, par, tail_x, tail_z, L: int, T: int):
     xs_rev = (sa_b[::-1], pr_b[::-1], live_b[::-1], alphas_ext[::-1])
     _, llr_rev = jax.lax.scan(beta_step, b0, xs_rev)
     llr_w = llr_rev[::-1][:L]  # [L, N]
-    return llr_w.reshape(L, B, W).transpose(1, 2, 0).reshape(B, K)
+    out = llr_w.reshape(L, B, W).transpose(1, 2, 0).reshape(B, W * L)
+    return out[:, :K]
 
 
 def default_window(k: int) -> int | None:
-    """Largest power-of-two window <=128 dividing K; None -> full scan."""
-    for L in (128, 64, 32, 16):
-        if k % L == 0 and k // L >= 2:
-            return L
-    return None
+    """Window length (K need not divide it — the tail is masked); None = full scan."""
+    return 128 if k >= 256 else None
 
 
 @functools.lru_cache(maxsize=1)
