@@ -20,6 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ...utils.jit import lazy_jit
 from ..common.params import CP, Cell
 from ..common.sequence import gold_sequence, gold_sequence_signed
 from ..fec.convolutional import (conv_encode_np, rm_conv_indices, rm_conv_rx,
@@ -154,6 +155,16 @@ class Pbch:
         batched device dispatch (mib bits are the decoded 24+16 payload, CRC
         already checked against the winning antenna mask).
         """
+        import numpy as np
+
+        ok, bits, win = self._decode_dev(grid, ce)
+        win = int(np.asarray(win))
+        return (bool(np.asarray(ok)), np.asarray(bits),
+                win % 4, 1 if win < 4 else 2)
+
+    @lazy_jit(static_argnums=(0,))
+    def _decode_dev(self, grid, ce):
+        """All 8 (phase x ports) hypotheses in one dispatch -> (any_ok, bits, win)."""
         import jax.numpy as jnp
 
         o = self.cell.ofdm
@@ -180,5 +191,4 @@ class Pbch:
         masks = jnp.asarray(np.stack([ant_mask(1), ant_mask(2)]), jnp.int32)
         ok = jnp.all(calc == (rx ^ masks[jnp.arange(8) // 4]), axis=-1)
         win = jnp.argmax(ok)
-        return (bool(np.asarray(jnp.any(ok))), np.asarray(bits[win]),
-                int(np.asarray(win)) % 4, 1 if int(np.asarray(win)) < 4 else 2)
+        return jnp.any(ok), bits[win], win

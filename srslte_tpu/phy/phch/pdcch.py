@@ -20,6 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ...utils.jit import lazy_jit
 from ..common.params import Cell
 from ..common.scrambling import pdcch_cinit
 from ..common.sequence import gold_sequence, gold_sequence_signed
@@ -147,11 +148,13 @@ class Pdcch:
                          for l in locs])
         return llr * jnp.asarray(soff)
 
-    def decode_candidates(self, grid, ce, locs: list, payload_len: int,
+    @lazy_jit(static_argnums=(0, 3, 4, 5))
+    def decode_candidates(self, grid, ce, locs: tuple, payload_len: int,
                           rnti: int):
         """Blind-decode candidates (all same L): -> (ok [ncand], bits [ncand, K]).
 
-        grid [nsym, nre], ce [nports, nsym, nre].
+        grid [nsym, nre], ce [nports, nsym, nre]; locs must be a tuple
+        (static argument — one compile per candidate-set bucket).
         """
         import jax.numpy as jnp
 
@@ -176,7 +179,7 @@ class Pdcch:
                     locs.append(l)
         hits = []
         for L in sorted({l.L for l in locs}):
-            group = [l for l in locs if l.L == L]
+            group = tuple(l for l in locs if l.L == L)
             ok, bits = self.decode_candidates(grid, ce, group, payload_len, rnti)
             ok = np.asarray(ok)
             bits = np.asarray(bits)

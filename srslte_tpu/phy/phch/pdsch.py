@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ...utils.jit import lazy_jit
 from ..chest.refsignal_dl import crs_mask
 from ..common.params import Cell
 from ..common.scrambling import pdsch_cinit, scramble_bits, scramble_llr
@@ -135,6 +136,7 @@ class Pdsch:
         return flat.reshape(grids.shape)
 
     # -- UE side ------------------------------------------------------------
+    @lazy_jit(static_argnums=(0,), static_argnames=("n_iter",))
     def decode(self, grid, ce, noise_var, n_iter: int = 5):
         """grid [..., nsym, nre], ce [..., nports, nsym, nre] -> (bits, crc_ok).
 

@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import numpy as np
 
+from ...utils.jit import lazy_jit
 from ..common.params import OfdmParams
 from .cfo import cfo_correct
 from .pss import pss_cfo_compute, pss_find_peak
@@ -35,6 +36,7 @@ class SyncResult(NamedTuple):
     sss_metric: object  # float32 [...]
 
 
+@lazy_jit(static_argnums=(1,))
 def sync_find(samples, params: OfdmParams) -> SyncResult:
     """Find PSS/SSS in windows [..., L] sampled at params.srate.
 

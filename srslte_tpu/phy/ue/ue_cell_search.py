@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import numpy as np
 
+from ...utils.jit import lazy_jit
 from ..common.params import OfdmParams
 from ..sync.sync import SyncResult, sync_find
 
@@ -33,6 +34,7 @@ class CellSearchResult(NamedTuple):
     metric: object  # float32: mean PSS metric of agreeing windows
 
 
+@lazy_jit(static_argnums=(1,))
 def cell_search(samples, params: OfdmParams | None = None) -> CellSearchResult:
     """Search a 1-D sample stream [L] for the strongest cell.
 

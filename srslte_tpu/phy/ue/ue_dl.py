@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from ...utils.jit import lazy_jit
 from ..chest.chest_dl import ChestDL
 from ..common.params import Cell
 from ..ofdm import Ofdm
@@ -27,6 +28,7 @@ class UeDl:
     def chest(self) -> ChestDL:
         return ChestDL(self.cell, algorithm=self.chest_algorithm)
 
+    @lazy_jit(static_argnums=(0, 2))
     def fft_estimate(self, samples, sf_idx: int):
         """samples [..., sf_len] -> (grid, ce, info)."""
         grid = self.ofdm.rx_sf(samples)
