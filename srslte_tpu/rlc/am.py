@@ -1,0 +1,272 @@
+"""RLC AM: acknowledged mode (36.322 §5.2, rlc_am_lte.cc equivalent).
+
+Covered behaviors: AMD PDU build with concatenation/segmentation and poll
+bits, tx window with retransmission on NACK, STATUS PDU generation (ACK_SN +
+NACK list) triggered by polls and t-Reordering expiry, status prohibit,
+in-order delivery with reassembly, max-retx escalation flag
+(rlc_am_lte.cc:164-170 -> RRC radio-link-failure in the reference).
+
+Not yet implemented vs the reference: re-segmentation of retransmitted PDUs
+(RF=1 segment PDUs) — retransmissions resend the whole PDU, which is what
+srsenb does when the grant is large enough.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+from .bits import BitReader, BitWriter
+from .reassembly import Reassembler
+
+SN_MOD = 1024
+WINDOW = SN_MOD // 2
+
+
+@dataclass
+class AmdPdu:
+    sn: int
+    fi: int
+    poll: bool
+    segments: list
+
+
+def pack_amd(pdu: AmdPdu) -> bytes:
+    w = BitWriter()
+    lis = [len(s) for s in pdu.segments[:-1]]
+    w.put(1, 1)  # D/C = data
+    w.put(0, 1)  # RF
+    w.put(1 if pdu.poll else 0, 1)
+    w.put(pdu.fi, 2)
+    w.put(1 if lis else 0, 1)
+    w.put(pdu.sn, 10)
+    for i, li in enumerate(lis):
+        w.put(1 if i < len(lis) - 1 else 0, 1)
+        w.put(li, 11)
+    return w.to_bytes() + b"".join(pdu.segments)
+
+
+def unpack_amd(raw: bytes) -> AmdPdu:
+    r = BitReader(raw)
+    assert r.get(1) == 1  # data
+    rf = r.get(1)
+    assert rf == 0, "re-segmentation (RF=1) not supported"
+    poll = bool(r.get(1))
+    fi = r.get(2)
+    e = r.get(1)
+    sn = r.get(10)
+    lis = []
+    while e:
+        e = r.get(1)
+        lis.append(r.get(11))
+    r.align()
+    data = r.rest()
+    segs, pos = [], 0
+    for li in lis:
+        segs.append(data[pos : pos + li])
+        pos += li
+    segs.append(data[pos:])
+    return AmdPdu(sn, fi, poll, segs)
+
+
+def pack_status(ack_sn: int, nacks: list) -> bytes:
+    """STATUS PDU: D/C + CPT + ACK_SN, then E1-chained NACK_SN entries."""
+    w = BitWriter()
+    w.put(0, 1)  # D/C = control
+    w.put(0, 3)  # CPT = STATUS
+    w.put(ack_sn, 10)
+    for n in nacks:
+        w.put(1, 1)  # E1: a NACK follows
+        w.put(n, 10)
+        w.put(0, 1)  # E2: no segment offsets
+    w.put(0, 1)  # E1 = 0: done
+    return w.to_bytes()
+
+
+def unpack_status(raw: bytes):
+    r = BitReader(raw)
+    assert r.get(1) == 0
+    assert r.get(3) == 0
+    ack_sn = r.get(10)
+    nacks = []
+    while r.get(1):
+        nacks.append(r.get(10))
+        e2 = r.get(1)
+        assert e2 == 0, "NACK segment offsets not supported"
+    return ack_sn, nacks
+
+
+def is_control(raw: bytes) -> bool:
+    return (raw[0] >> 7) == 0
+
+
+@dataclass
+class RlcAm:
+    poll_pdu: int = 4  # poll every N PDUs
+    max_retx: int = 8
+    t_reordering: int = 5
+    t_status_prohibit: int = 0
+    # TX state
+    _queue: deque = field(default_factory=deque)
+    _partial: bytes = b""
+    _vt_s: int = 0
+    _vt_a: int = 0
+    _tx_window: dict = field(default_factory=dict)  # sn -> (raw, n_tx)
+    _retx: deque = field(default_factory=deque)
+    _pdus_since_poll: int = 0
+    max_retx_reached: bool = False
+    # RX state
+    _rx_window: dict = field(default_factory=dict)
+    _vr_r: int = 0  # next SN expected in sequence
+    _vr_h: int = 0  # highest SN received + 1
+    _do_status: bool = False
+    _status_wait: int = 0
+    _t_active: bool = False
+    _t_count: int = 0
+    _vr_x: int = 0
+    _reasm: Reassembler = field(default_factory=Reassembler)
+
+    # convenience
+    @property
+    def rx_sdus(self) -> list:
+        return self._reasm.sdus
+
+    @staticmethod
+    def _lt(a: int, b: int) -> bool:
+        return ((a - b) % SN_MOD) > WINDOW
+
+    # ---- TX -------------------------------------------------------------
+    def write_sdu(self, sdu: bytes):
+        self._queue.append(bytes(sdu))
+
+    def get_buffer_state(self) -> int:
+        n = len(self._partial) + sum(len(s) for s in self._queue)
+        retx = sum(len(self._tx_window[sn][0]) for sn in self._retx
+                   if sn in self._tx_window)
+        status = 2 if self._do_status and self._status_wait == 0 else 0
+        return n + (4 if n else 0) + retx + status
+
+    def read_pdu(self, nof_bytes: int) -> bytes | None:
+        # 1. pending STATUS has priority (rlc_am_lte.cc read_pdu order)
+        if self._do_status and self._status_wait == 0:
+            pdu = self._build_status()
+            if len(pdu) <= nof_bytes:
+                self._do_status = False
+                self._status_wait = self.t_status_prohibit
+                return pdu
+        # 2. retransmissions
+        while self._retx:
+            sn = self._retx[0]
+            ent = self._tx_window.get(sn)
+            if ent is None:
+                self._retx.popleft()
+                continue
+            raw, n_tx = ent
+            if len(raw) > nof_bytes:
+                return None  # no re-segmentation support: wait for big grant
+            self._retx.popleft()
+            if n_tx + 1 >= self.max_retx:
+                self.max_retx_reached = True  # RRC escalation signal
+            self._tx_window[sn] = (raw, n_tx + 1)
+            return raw
+        # 3. new data
+        if not self._partial and not self._queue:
+            return None
+        segs: list[bytes] = []
+        first_cont = bool(self._partial)
+        space = nof_bytes - 3  # header estimate
+        if space <= 0:
+            return None
+        if first_cont:
+            take = min(len(self._partial), space)
+            segs.append(self._partial[:take])
+            self._partial = self._partial[take:]
+            space -= take
+        while self._queue and space > 2:
+            if segs:
+                space -= 2
+                if space <= 0:
+                    break
+            sdu = self._queue.popleft()
+            if len(sdu) <= space:
+                segs.append(sdu)
+                space -= len(sdu)
+            else:
+                segs.append(sdu[:space])
+                self._partial = sdu[space:]
+                space = 0
+        if not segs or not any(segs):
+            return None
+        self._pdus_since_poll += 1
+        poll = (self._pdus_since_poll >= self.poll_pdu
+                or (not self._queue and not self._partial))
+        if poll:
+            self._pdus_since_poll = 0
+        fi = (2 if first_cont else 0) | (1 if self._partial else 0)
+        sn = self._vt_s
+        self._vt_s = (self._vt_s + 1) % SN_MOD
+        raw = pack_amd(AmdPdu(sn, fi, poll, segs))
+        self._tx_window[sn] = (raw, 1)
+        return raw
+
+    def _build_status(self) -> bytes:
+        nacks = []
+        sn = self._vr_r
+        while sn != self._vr_h:
+            if sn not in self._rx_window:
+                nacks.append(sn)
+            sn = (sn + 1) % SN_MOD
+        return pack_status(self._vr_h, nacks)
+
+    # ---- RX -------------------------------------------------------------
+    def write_pdu(self, raw: bytes):
+        if is_control(raw):
+            self._handle_status(raw)
+            return
+        pdu = unpack_amd(raw)
+        sn = pdu.sn
+        if self._lt(sn, self._vr_r) or sn in self._rx_window:
+            if pdu.poll:
+                self._do_status = True
+            return  # duplicate / stale
+        self._rx_window[sn] = pdu
+        if not self._lt(sn, self._vr_h):
+            self._vr_h = (sn + 1) % SN_MOD
+        if pdu.poll:
+            self._do_status = True
+        # in-order delivery
+        while self._vr_r in self._rx_window:
+            p = self._rx_window[self._vr_r]
+            self._reasm.push(p.segments, p.fi)
+            # keep the PDU marker so duplicates are recognized, drop payload
+            self._rx_window[self._vr_r] = AmdPdu(p.sn, p.fi, False, [])
+            self._rx_window.pop((self._vr_r - WINDOW) % SN_MOD, None)
+            self._vr_r = (self._vr_r + 1) % SN_MOD
+        if self._vr_r != self._vr_h and not self._t_active:
+            self._t_active, self._t_count, self._vr_x = True, 0, self._vr_h
+
+    def _handle_status(self, raw: bytes):
+        ack_sn, nacks = unpack_status(raw)
+        sn = self._vt_a
+        while sn != ack_sn:
+            if sn in nacks:
+                if sn not in self._retx:
+                    self._retx.append(sn)
+            else:
+                self._tx_window.pop(sn, None)
+            sn = (sn + 1) % SN_MOD
+        # advance vt_a past contiguously acked PDUs
+        while self._vt_a != ack_sn and self._vt_a not in nacks:
+            self._vt_a = (self._vt_a + 1) % SN_MOD
+
+    def tick(self):
+        if self._status_wait > 0:
+            self._status_wait -= 1
+        if self._t_active:
+            self._t_count += 1
+            if self._t_count >= self.t_reordering:
+                self._t_active = False
+                self._do_status = True  # report the holes
+                if self._vr_r != self._vr_h:
+                    self._t_active, self._t_count = True, 0
+                    self._vr_x = self._vr_h
