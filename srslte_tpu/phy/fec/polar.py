@@ -1,0 +1,192 @@
+"""NR Polar code: construction, encoder, rate matching, SC decoder
+(38.212 §5.3.1/§5.4.1).
+
+Reference behavior: lib/src/phy/fec/polar/{polar_code.c, polar_encoder.c,
+polar_rm.c, polar_decoder*.c}.  The universal reliability sequence Q^1024
+(38.212 table 5.3.1.2-1) ships as polar_q1024.npy (see
+tools/extract_polar_seq.py); per-N mother codes are its subsequences.
+
+TPU-first: the encoder is log2(N) vectorized butterfly XOR stages; the SC
+decoder is the recursive f/g formulation vectorized over the batch with the
+tree unrolled at trace time (static N).  Parity-check bits (UL nPC>0) and
+list decoding are not yet implemented — SC + outer CRC matches the
+reference's DL usage envelope for blind-decode candidates.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+_QPATH = os.path.join(os.path.dirname(__file__), "polar_q1024.npy")
+
+# 38.212 table 5.4.1.1-1 sub-block interleaver pattern
+_P32 = np.array([0, 1, 2, 4, 3, 5, 6, 7, 8, 16, 9, 17, 10, 18, 11, 19,
+                 12, 20, 13, 21, 14, 22, 15, 23, 24, 25, 26, 28, 27, 29,
+                 30, 31], np.int64)
+
+
+@functools.lru_cache(maxsize=1)
+def q1024() -> np.ndarray:
+    return np.load(_QPATH).astype(np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def mother_code(n: int) -> np.ndarray:
+    """Reliability order for N=2^n (subsequence rule, §5.3.1.2)."""
+    q = q1024()
+    return q[q < (1 << n)]
+
+
+@functools.lru_cache(maxsize=None)
+def blk_interleaver(n: int) -> np.ndarray:
+    """J(i) sub-block interleaver for N=2^n (§5.4.1.1)."""
+    nn = 1 << n
+    i = np.arange(nn)
+    b = _P32[32 * i // nn]
+    return (b * (nn // 32) + i % (nn // 32)).astype(np.int64)
+
+
+@dataclass(frozen=True)
+class PolarCode:
+    """Code construction for one (K, E) bucket (nPC = 0, DL-style)."""
+
+    K: int
+    E: int
+    n_max: int = 9  # 9 for DL, 10 for UL
+
+    @functools.cached_property
+    def n(self) -> int:
+        e, k = self.E, self.K
+        cl = int(np.ceil(np.log2(e)))
+        if e <= (9 * (1 << (cl - 1))) // 8 and k / e < 9 / 16:
+            n1 = cl - 1
+        else:
+            n1 = cl
+        n2 = int(np.ceil(np.log2(8 * k)))
+        return max(min(n1, n2, self.n_max), 5)
+
+    @property
+    def N(self) -> int:
+        return 1 << self.n
+
+    @functools.cached_property
+    def frozen_mask(self) -> np.ndarray:
+        """[N] bool: True = frozen (§5.3.1.2 incl. rate-matching pre-freeze)."""
+        nn, k, e = self.N, self.K, self.E
+        frozen = np.zeros(nn, bool)
+        jn = blk_interleaver(self.n)
+        if e < nn:
+            if 16 * k <= 7 * e:  # puncturing: first N-E interleaved + low idx
+                frozen[jn[: nn - e]] = True
+                if e >= 3 * nn // 4:
+                    t = int(np.ceil(3 * nn / 4 - e / 2)) - 1
+                else:
+                    t = int(np.ceil(9 * nn / 16 - e / 4)) - 1
+                frozen[: t + 1] = True
+            else:  # shortening: last N-E interleaved positions
+                frozen[jn[e:]] = True
+        # most reliable K non-prefrozen positions carry data
+        order = mother_code(self.n)
+        free = order[~frozen[order]]
+        data = free[-k:]
+        mask = np.ones(nn, bool)
+        mask[data] = False
+        return mask
+
+    @functools.cached_property
+    def k_set(self) -> np.ndarray:
+        return np.where(~self.frozen_mask)[0].astype(np.int64)
+
+
+def polar_transform(u):
+    """Butterfly u -> u * G_N over GF(2): log2(N) vectorized stages."""
+    import jax.numpy as jnp
+
+    x = u.astype(jnp.uint8)
+    n = x.shape[-1]
+    s = 1
+    while s < n:
+        x = x.reshape(x.shape[:-1] + (n // (2 * s), 2, s))
+        x = jnp.concatenate([x[..., 0, :] ^ x[..., 1, :], x[..., 1, :]],
+                            axis=-1)
+        x = x.reshape(x.shape[:-2] + (n,))
+        s *= 2
+    return x
+
+
+def polar_encode(bits, code: PolarCode):
+    """bits [..., K] -> rate-matched codeword bits [..., E] (jittable)."""
+    import jax.numpy as jnp
+
+    u = jnp.zeros(bits.shape[:-1] + (code.N,), jnp.uint8)
+    u = u.at[..., jnp.asarray(code.k_set)].set(bits.astype(jnp.uint8))
+    x = polar_transform(u)
+    y = x[..., jnp.asarray(blk_interleaver(code.n))]
+    nn, e = code.N, code.E
+    if e >= nn:  # repetition
+        reps = -(-e // nn)
+        return jnp.tile(y, (1,) * (y.ndim - 1) + (reps,))[..., :e]
+    if 16 * code.K <= 7 * e:  # puncturing: drop the first N-E
+        return y[..., nn - e :]
+    return y[..., :e]  # shortening
+
+
+def polar_rm_rx(e_llr, code: PolarCode, shortened_val: float = -1e4):
+    """LLRs [..., E] -> mother-code LLRs [..., N] (positive => bit 1)."""
+    import jax.numpy as jnp
+
+    nn, e = code.N, code.E
+    y = jnp.zeros(e_llr.shape[:-1] + (nn,), e_llr.dtype)
+    if e >= nn:
+        for r in range(-(-e // nn)):
+            chunk = e_llr[..., r * nn : (r + 1) * nn]
+            y = y.at[..., : chunk.shape[-1]].add(chunk)
+    elif 16 * code.K <= 7 * e:
+        y = y.at[..., nn - e :].set(e_llr)  # punctured front: LLR 0
+    else:
+        y = y.at[..., :e].set(e_llr)
+        y = y.at[..., e:].set(shortened_val)  # shortened tail: known 0
+    return _deinterleave(y, code)
+
+
+def _deinterleave(y, code: PolarCode):
+    import jax.numpy as jnp
+
+    jn = blk_interleaver(code.n)
+    out = jnp.zeros_like(y)
+    return out.at[..., jnp.asarray(jn)].set(y)
+
+
+def polar_decode(llr, code: PolarCode):
+    """Batched SC decode: llr [..., E] (positive => bit 1) -> bits [..., K]."""
+    import jax.numpy as jnp
+
+    ln = polar_rm_rx(llr, code)
+    # classic convention internally: positive => bit 0
+    l0 = -ln.astype(jnp.float32)
+    frozen = code.frozen_mask
+
+    def dec(l, fro):
+        """l [..., n]; fro: numpy bool [n]. Returns (u_hat bits, x_hat)."""
+        n = l.shape[-1]
+        if n == 1:
+            if fro[0]:
+                b = jnp.zeros(l.shape, jnp.uint8)
+            else:
+                b = (l < 0).astype(jnp.uint8)
+            return b, b
+        half = n // 2
+        la, lb = l[..., :half], l[..., half:]
+        f = (jnp.sign(la) * jnp.sign(lb)
+             * jnp.minimum(jnp.abs(la), jnp.abs(lb)))
+        u1, x1 = dec(f, fro[:half])
+        g = lb + (1.0 - 2.0 * x1.astype(jnp.float32)) * la
+        u2, x2 = dec(g, fro[half:])
+        return jnp.concatenate([u1, u2], -1), jnp.concatenate([x1 ^ x2, x2], -1)
+
+    u_hat, _ = dec(l0, frozen)
+    return u_hat[..., jnp.asarray(code.k_set)]
