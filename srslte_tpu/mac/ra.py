@@ -48,8 +48,13 @@ class UeRaProc:
             if self._win > self.rar_window:
                 self.state = "idle" if self.attempt < self.max_attempts else "failed"
 
-    def rx_rar(self, raw: bytes) -> MacPdu | None:
-        """Process a RAR PDU; if our RAPID is present, returns msg3."""
+    def rx_rar(self, raw: bytes, ccch_sdu: bytes | None = None) -> MacPdu | None:
+        """Process a RAR PDU; if our RAPID is present, returns msg3.
+
+        ccch_sdu: the RRCConnectionRequest to carry (its first 6 bytes act
+        as the contention-resolution identity, 36.321 §5.1.5); a random
+        48-bit identity is generated when omitted.
+        """
         if self.state != "wait_rar":
             return None
         rar = RarPdu.parse(raw)
@@ -59,13 +64,12 @@ class UeRaProc:
                 self.ta = r.ta
                 self.state = "wait_conres"
                 self._win = 0
-                # msg3: CCCH SDU (RRCConnectionRequest) with a UE identity
-                # (random 48-bit id, unique per UE — the contention resolver)
                 import os
 
-                self._con_res_id = os.urandom(6)
+                sdu = ccch_sdu if ccch_sdu is not None else os.urandom(6)
+                self._con_res_id = sdu[:6].ljust(6, b"\0")
                 msg3 = MacPdu(ul=True)
-                msg3.add_sdu(int(UL_LCID.CCCH), self._con_res_id)
+                msg3.add_sdu(int(UL_LCID.CCCH), sdu)
                 return msg3
         return None
 

@@ -158,13 +158,50 @@ class Pdcch:
         """
         import jax.numpy as jnp
 
+        mask = jnp.asarray(rnti_mask(rnti))
+        return self._decode_candidates_traced(grid, ce, locs, payload_len,
+                                              mask)
+
+    @lazy_jit(static_argnums=(0, 3, 4))
+    def _decode_candidates_traced(self, grid, ce, locs: tuple,
+                                  payload_len: int, rnti_mask_arr):
+        """Like decode_candidates but with a TRACED rnti mask — one compile
+        per (sf, candidate-set) bucket regardless of RNTI (blind-search
+        batching, SURVEY.md §7.6)."""
         llr = self._llrs(grid, ce, locs)
         n_coded = 3 * (payload_len + 16)
         de_rm = rm_conv_rx(llr, n_coded)
         bits = viterbi_decode(de_rm, payload_len + 16)
-        mask = jnp.asarray(rnti_mask(rnti))
-        ok = crc_ok_device(bits, *LTE_CRC16, rnti_mask=mask)
+        ok = crc_ok_device(bits, *LTE_CRC16, rnti_mask=rnti_mask_arr)
         return ok, bits[:, :payload_len]
+
+    def all_locations(self, Ls=(4, 8)) -> tuple:
+        """Every aligned candidate at the given aggregation levels."""
+        locs = []
+        for L in Ls:
+            locs.extend(Location(c, L) for c in range(0, self.n_cce - L + 1, L))
+        return tuple(locs)
+
+    def search_all(self, grid, ce, rnti: int, payload_len: int, Ls=(4, 8)):
+        """Blind search over ALL aligned candidates — RNTI enters only as a
+        traced CRC mask, so any number of RNTIs share one compilation."""
+        import jax.numpy as jnp
+
+        hits = []
+        for L in Ls:
+            group = tuple(Location(c, L)
+                          for c in range(0, self.n_cce - L + 1, L))
+            if not group:
+                continue
+            mask = jnp.asarray(rnti_mask(rnti))
+            ok, bits = self._decode_candidates_traced(grid, ce, group,
+                                                      payload_len, mask)
+            ok = np.asarray(ok)
+            bits = np.asarray(bits)
+            for i, l in enumerate(group):
+                if ok[i]:
+                    hits.append((l, bits[i]))
+        return hits
 
     def search(self, grid, ce, rnti: int, payload_len: int,
                include_common: bool = True):
