@@ -49,6 +49,76 @@ def alamouti_encode_2tx(x):
     return jnp.stack([p0, p1], axis=-2) / jnp.sqrt(2.0)
 
 
+# ---------------------------------------------------------------- 2-layer SM
+# 36.211 table 6.3.4.2.3-1: 2-port rank-2 codebook (precoding.c pmi tables)
+import numpy as np
+
+_W2 = np.stack([
+    np.array([[1, 0], [0, 1]], np.complex64) / np.sqrt(2),          # identity
+    np.array([[1, 1], [1, -1]], np.complex64) / 2,                  # pmi 1
+    np.array([[1, 1], [1j, -1j]], np.complex64) / 2,                # pmi 2
+])
+# large-delay CDD (TM3): D(i) = diag(1, e^{-j*pi*i}), U = DFT2
+_U2 = np.array([[1, 1], [1, np.exp(-1j * np.pi)]], np.complex64) / np.sqrt(2)
+
+
+def precode_sm_2layer(x, pmi: int | None = None):
+    """Spatial multiplexing, 2 layers -> 2 ports.
+
+    x [..., 2, n]: layer symbols.  pmi None => TM3 large-delay CDD
+    (precoding.c srsran_precoding_cdd); else TM4 codebook entry.
+    Returns per-port symbols [..., 2, n].
+    """
+    if pmi is None:
+        n = x.shape[-1]
+        i = jnp.arange(n)
+        d1 = jnp.exp(-1j * jnp.pi * i).astype(jnp.complex64)  # alternates ±1
+        u = jnp.asarray(_U2)
+        # s' = U x ; s'' = D s' ; y = W s'' with W = I/sqrt(2)
+        sp = jnp.einsum("lk,...kn->...ln", u, x.astype(jnp.complex64))
+        sp = sp * jnp.stack([jnp.ones_like(d1), d1])
+        return sp / jnp.sqrt(2.0)
+    w = jnp.asarray(_W2[pmi])
+    return jnp.einsum("pl,...ln->...pn", w, x.astype(jnp.complex64))
+
+
+def mmse_sm_2layer(y, h, noise_var, pmi: int | None = None):
+    """2x2 MMSE detection: y [..., 2rx, n], h [..., 2rx, 2tx, n] -> x [..., 2, n].
+
+    The effective channel folds in the precoder (CDD for TM3 / codebook for
+    TM4); per-RE 2x2 inversion in closed form (precoding.c srsran_predecoding
+    _type MMSE path).  Also returns per-layer post-MMSE gain for LLR scaling.
+    """
+    if pmi is None:
+        n = y.shape[-1]
+        i = jnp.arange(n)
+        d1 = jnp.exp(-1j * jnp.pi * i).astype(jnp.complex64)
+        u = jnp.asarray(_U2)
+        dmat = jnp.stack([jnp.ones_like(d1), d1])  # [2, n]
+        # heff[r, l, n] = sum_k h[r,k,n] * (W D U)[k,l,n], W = I/sqrt2
+        wdu = (dmat[:, None, :] * u[:, :, None]) / jnp.sqrt(2.0)  # [k, l, n]
+        heff = jnp.einsum("...rkn,kln->...rln", h.astype(jnp.complex64), wdu)
+    else:
+        w = jnp.asarray(_W2[pmi])
+        heff = jnp.einsum("...rkn,kl->...rln", h.astype(jnp.complex64), w)
+    # A = H^H H + nv I  (2x2), x = A^-1 H^H y
+    hh = jnp.conj(jnp.swapaxes(heff, -3, -2))  # [..., l, r, n]
+    a = jnp.einsum("...lrn,...rmn->...lmn", hh, heff)
+    nv = jnp.mean(jnp.asarray(noise_var))  # scalar regularizer
+    a00 = a[..., 0, 0, :] + nv
+    a11 = a[..., 1, 1, :] + nv
+    a01 = a[..., 0, 1, :]
+    a10 = a[..., 1, 0, :]
+    det = a00 * a11 - a01 * a10
+    z = jnp.einsum("...lrn,...rn->...ln", hh, y.astype(jnp.complex64))
+    x0 = (a11 * z[..., 0, :] - a01 * z[..., 1, :]) / det
+    x1 = (-a10 * z[..., 0, :] + a00 * z[..., 1, :]) / det
+    # post-MMSE effective gain per layer (for LLR weighting): diag(A^-1 A_sig)
+    g0 = jnp.real(a00 - nv)
+    g1 = jnp.real(a11 - nv)
+    return jnp.stack([x0, x1], axis=-2), jnp.stack([g0, g1], axis=-2)
+
+
 def alamouti_decode_2tx(y, h0, h1, noise_var=0.0):
     """SFBC combine: y [..., n], per-port channels h0/h1 [..., n] -> x [..., n].
 

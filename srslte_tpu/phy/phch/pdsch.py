@@ -23,6 +23,7 @@ from ..chest.refsignal_dl import crs_mask
 from ..common.params import Cell
 from ..common.scrambling import pdsch_cinit, scramble_bits, scramble_llr
 from ..mimo import alamouti_decode_2tx, alamouti_encode_2tx, equalize_zf
+from ..mimo.mimo import mmse_sm_2layer, precode_sm_2layer
 from ..modem.modem import demod_soft, modulate
 from .dlsch import DlschConfig, dlsch_decode, dlsch_encode
 from .ra import DlGrant
@@ -170,3 +171,65 @@ class Pdsch:
         llr = llr * wq
         llr = scramble_llr(llr, self.cinit)
         return dlsch_decode(llr, self.cfg, n_iter=n_iter)
+
+
+@dataclass(frozen=True)
+class PdschSm(Pdsch):
+    """PDSCH with 2-layer spatial multiplexing (TM3/TM4, 2 codewords).
+
+    Reference behavior: pdsch.c 2-TB path + precoding.c CDD/PMI kernels.
+    pmi=None selects TM3 large-delay CDD; pmi in {0,1,2} selects the 2-port
+    codebook entry (TM4).  Requires cell.nof_ports == 2 and a 2-RX-antenna
+    receiver.
+    """
+
+    pmi: int | None = None
+
+    def __post_init__(self):
+        assert self.cell.nof_ports == 2, "2-layer SM needs 2 TX ports"
+
+    def cinit_q(self, q: int) -> int:
+        return pdsch_cinit(self.rnti, q, self.sf_idx, self.cell.id)
+
+    # -- eNB side -----------------------------------------------------------
+    @lazy_jit(static_argnums=(0,))
+    def encode2(self, bits0, bits1, grids):
+        """Two transport blocks -> 2 layers -> 2 ports."""
+        import jax.numpy as jnp
+
+        o = self.cell.ofdm
+        idx = jnp.asarray(self.re_idx)
+        layers = []
+        for q, bits in enumerate((bits0, bits1)):
+            coded = dlsch_encode(bits, self.cfg)
+            scr = scramble_bits(coded, self.cinit_q(q))
+            layers.append(modulate(scr, self.grant.modulation))
+        x = jnp.stack(layers, axis=-2)  # [..., 2, n]
+        ports = precode_sm_2layer(x, self.pmi)  # [..., 2, n]
+        flat = grids.reshape(grids.shape[:-2] + (o.nsymb_sf * o.nof_re,))
+        flat = flat.at[..., 0, idx].set(ports[..., 0, :])
+        flat = flat.at[..., 1, idx].set(ports[..., 1, :])
+        return flat.reshape(grids.shape)
+
+    # -- UE side ------------------------------------------------------------
+    @lazy_jit(static_argnums=(0,), static_argnames=("n_iter",))
+    def decode2(self, grids_rx, ce, noise_var, n_iter: int = 5):
+        """grids_rx [2rx, nsym, nre], ce [2rx, 2tx, nsym, nre] ->
+        ((bits0, ok0), (bits1, ok1))."""
+        import jax.numpy as jnp
+
+        o = self.cell.ofdm
+        idx = jnp.asarray(self.re_idx)
+        y = grids_rx.reshape(grids_rx.shape[:-2] + (-1,))[..., idx]  # [2, n]
+        h = ce.reshape(ce.shape[:-2] + (-1,))[..., idx]  # [2, 2, n]
+        nv = jnp.mean(jnp.asarray(noise_var))
+        xhat, gain = mmse_sm_2layer(y, h, nv[None], self.pmi)
+        outs = []
+        qm = self.grant.modulation.bits_per_symbol
+        for q in range(2):
+            llr = demod_soft(xhat[..., q, :], self.grant.modulation)
+            w = gain[..., q, :] / jnp.maximum(nv, 1e-9)
+            llr = llr * jnp.repeat(w, qm, axis=-1)
+            llr = scramble_llr(llr, self.cinit_q(q))
+            outs.append(dlsch_decode(llr, self.cfg, n_iter=n_iter))
+        return tuple(outs)
