@@ -105,12 +105,31 @@ def dlsch_encode(bits, cfg: DlschConfig):
     return jnp.concatenate(out, axis=-1).astype(jnp.uint8)
 
 
-def dlsch_decode(llr, cfg: DlschConfig, n_iter: int = 5):
+def dlsch_decode(llr, cfg: DlschConfig, n_iter: int = 5, early: int = 2):
     """llr [..., G] (positive ⇒ bit 1) -> (bits [..., tbs] uint8, crc_ok [...]).
 
-    Code blocks of equal shape decode as one batch; crc_ok requires all CB
-    CRCs (C>1) and the TB CRC to pass.
+    Early termination, TPU style: the reference's turbo decoder stops
+    iterating when the CRC passes (effectively 1-2 iterations at operating
+    SNR, max 8 — ue_phy_interfaces.h pdsch_max_its).  Data-dependent
+    per-CB exit doesn't fit static shapes, so this decodes the whole batch
+    at `early` iterations, CRC-checks it batched, and only re-decodes (at
+    the full n_iter) under a lax.cond when ANY block failed — one cheap
+    pass on clean channels, full effort otherwise.
     """
+    import jax
+    import jax.numpy as jnp
+
+    if early and early < n_iter:
+        bits1, ok1 = _dlsch_decode_fixed(llr, cfg, early)
+        return jax.lax.cond(
+            jnp.all(ok1),
+            lambda: (bits1, ok1),
+            lambda: _dlsch_decode_fixed(llr, cfg, n_iter))
+    return _dlsch_decode_fixed(llr, cfg, n_iter)
+
+
+def _dlsch_decode_fixed(llr, cfg: DlschConfig, n_iter: int):
+    """Fixed-iteration decode of the whole batch."""
     import jax.numpy as jnp
 
     seg = cfg.seg
