@@ -1,0 +1,91 @@
+"""Radio abstraction, SFO tracking, neighbor measurement, extended CP."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from srslte_tpu.phy.common.params import CP, Cell, OfdmParams
+from srslte_tpu.phy.enb.enb_dl import EnbDl
+from srslte_tpu.phy.ofdm import Ofdm
+from srslte_tpu.phy.sync.sfo import sfo_estimate, sfo_to_ppm
+from srslte_tpu.phy.ue.intra_measure import IntraMeasure
+from srslte_tpu.radio import FileRadio, PipeRadio
+
+
+def test_sfo_estimate_linear_drift():
+    p = OfdmParams(6)
+    frame_len = 10 * p.sf_len
+    # +0.5 samples drift per frame = clock running fast
+    frames = np.arange(20)
+    offs = 1000 + 0.5 * frames + np.random.default_rng(0).normal(0, 0.1, 20)
+    sfo = sfo_estimate(frames, offs, frame_len, p.srate)
+    expect = 0.5 / (frame_len / p.srate)
+    assert abs(sfo - expect) < 0.1 * expect
+    assert abs(sfo_to_ppm(sfo, p.srate) - 1e6 * 0.5 / frame_len) < 5
+
+
+def test_intra_measure_ranks_cells():
+    """Serving cell strong, neighbor weak: RSRP ordering + absent-PCI floor."""
+    rng = np.random.default_rng(1)
+    serving, neigh, absent = 42, 111, 300
+    sf_idx = 2
+    sigs = {}
+    for pci, gain in ((serving, 1.0), (neigh, 0.3)):
+        cell = Cell(n_prb=6, id=pci, nof_ports=1)
+        enb = EnbDl(cell)
+        g = enb.put_base(enb.empty_grids(), sf_idx)
+        sigs[pci] = gain * np.asarray(enb.gen_signal(g))[0]
+    x = sigs[serving] + sigs[neigh]
+    x = x + 0.02 * (rng.standard_normal(len(x)) + 1j * rng.standard_normal(len(x)))
+
+    im = IntraMeasure(6, (serving, neigh, absent))
+    out = im.measure(jnp.asarray(x.astype(np.complex64)), sf_idx)
+    rsrp = np.asarray(out["rsrp"])
+    assert rsrp[0] > 5 * rsrp[1] > 5 * rsrp[2]
+    rsrq = np.asarray(out["rsrq"])
+    assert rsrq[0] > rsrq[1]
+
+
+def test_file_radio_roundtrip(tmp_path):
+    p = str(tmp_path / "cap.bin")
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal(5000) + 1j * rng.standard_normal(5000)).astype(np.complex64)
+    tx = FileRadio(tx_path=p)
+    tx.tx(x)
+    tx.close()
+    rx = FileRadio(rx_path=p)
+    y, ts = rx.rx_now(5000)
+    assert ts.sample_count == 0
+    np.testing.assert_allclose(y, x, atol=1e-6)
+    y2, ts2 = rx.rx_now(100)  # EOF -> zero padded
+    assert ts2.sample_count == 5000
+    assert np.all(y2 == 0)
+    rx.close()
+
+
+def test_pipe_radio_loopback_with_resampling():
+    rxr = PipeRadio(rx_port=47001, tx_port=47001, base_srate=23_040_000,
+                    cell_srate=1_920_000)
+    rng = np.random.default_rng(3)
+    # bandlimited cell-rate signal
+    n = 1920
+    xf = np.zeros(n, np.complex64)
+    xf[:100] = rng.standard_normal(100) + 1j * rng.standard_normal(100)
+    x = np.fft.ifft(xf).astype(np.complex64)
+    rxr.tx(x)  # upsamples 12x and sends to its own rx port
+    y, ts = rxr.rx_now(n)  # downsamples back
+    rxr.close()
+    assert len(y) == n
+    np.testing.assert_allclose(y, x, atol=2e-3)
+
+
+def test_extended_cp_ofdm_roundtrip():
+    p = OfdmParams(25, CP.EXT)
+    assert p.nsymb_slot == 6
+    modem = Ofdm(p, normalize=True)
+    rng = np.random.default_rng(4)
+    grid = (rng.standard_normal((p.nsymb_sf, p.nof_re))
+            + 1j * rng.standard_normal((p.nsymb_sf, p.nof_re))).astype(np.complex64)
+    s = modem.tx_sf(jnp.asarray(grid))
+    back = modem.rx_sf(s)
+    np.testing.assert_allclose(np.asarray(back), grid, atol=1e-4)
