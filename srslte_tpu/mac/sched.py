@@ -140,3 +140,88 @@ class SchedDl:
             assert a.loc in ue_locations(len(used_cce), a.rnti, 0) or True
             assert len(pack_format1(a.dci, self.cell.n_prb)) == format1_size(
                 self.cell.n_prb)
+
+
+# --------------------------------------------------------------- UL scheduler
+@dataclass
+class UlAlloc:
+    rnti: int
+    prb_start: int
+    n_prb: int
+    mcs: int
+    tbs: int
+    loc: Location
+
+
+@dataclass
+class SchedUl:
+    """Per-TTI UL scheduler: BSR-driven contiguous PUSCH allocations.
+
+    Reference behavior: srsenb sched_ue_cell UL path — contiguous
+    (SC-FDMA-valid) PRB chunks, DCI-0 CCE allocation sharing the PDCCH grid
+    with DL, round-robin over UEs with pending buffer status.
+    """
+
+    cell: Cell
+    cfi: int = 1
+    bsr: dict = field(default_factory=dict)  # rnti -> pending bytes
+    mcs: dict = field(default_factory=dict)  # rnti -> UL MCS (from SRS/CQI)
+    _rr_next: int = 0
+
+    def ul_bsr(self, rnti: int, nof_bytes: int):
+        self.bsr[rnti] = nof_bytes
+
+    def schedule(self, tti: int, used_cce=None) -> list[UlAlloc]:
+        from ..phy.phch.dft_precoding import valid_prb
+        from ..phy.phch.ra_ul import ul_tbs
+
+        sf_idx = tti % 10
+        n_cce = reg_layout(self.cell).n_cce[self.cfi]
+        cce_free = np.ones(n_cce, bool)
+        if used_cce is not None:
+            cce_free[: len(used_cce)] &= ~np.asarray(used_cce)
+        prb_next = 0
+        out: list[UlAlloc] = []
+        rntis = [r for r in sorted(self.bsr) if self.bsr[r] > 0]
+        if not rntis:
+            return out
+        start = self._rr_next % len(rntis)
+        for rnti in rntis[start:] + rntis[:start]:
+            mcs = self.mcs.get(rnti, 10)
+            need = self.bsr[rnti] * 8
+            # smallest DFT-valid contiguous chunk covering the BSR
+            n = 0
+            for cand in range(1, self.cell.n_prb - prb_next + 1):
+                if not valid_prb(cand):
+                    continue
+                n = cand
+                if ul_tbs(mcs, cand) >= need:
+                    break
+            if n == 0:
+                break
+            loc = next((Location(c, 4) for c in range(0, n_cce - 3, 4)
+                        if cce_free[c : c + 4].all()), None)
+            if loc is None:
+                break
+            cce_free[loc.cce : loc.cce + 4] = False
+            tbs = ul_tbs(mcs, n)
+            served = min(tbs // 8, self.bsr[rnti])
+            self.bsr[rnti] -= served
+            out.append(UlAlloc(rnti, prb_next, n, mcs, tbs, loc))
+            prb_next += n
+            self._rr_next += 1
+        return out
+
+    def check_invariants(self, allocs: list[UlAlloc]):
+        from ..phy.phch.dft_precoding import valid_prb
+
+        used = np.zeros(self.cell.n_prb, bool)
+        cce = set()
+        for a in allocs:
+            assert valid_prb(a.n_prb), "PUSCH PRB count not DFT-valid"
+            seg = slice(a.prb_start, a.prb_start + a.n_prb)
+            assert not used[seg].any(), "UL PRB collision"
+            used[seg] = True
+            for c in range(a.loc.cce, a.loc.cce + a.loc.L):
+                assert c not in cce, "CCE collision"
+                cce.add(c)

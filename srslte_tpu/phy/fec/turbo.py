@@ -239,6 +239,25 @@ def rm_tx(dcat, k: int, e: int, rv: int, f: int = 0, n_cb: int | None = None):
     return dcat[..., idx]
 
 
+@functools.lru_cache(maxsize=None)
+def _rm_rx_inverse(k: int, e: int, rv: int, f: int, n_cb: int | None):
+    """Inverse of rm_indices as a gather table [3*(K+4), R] (-1 padded).
+
+    TPU idiom: XLA lowers arbitrary-index scatter-adds to slow serialized
+    updates; the combining becomes a masked gather-sum instead (R = max
+    repetitions of any position, usually 1-2)."""
+    idx = rm_indices(k, e, rv, f, n_cb)
+    d = 3 * (k + 4)
+    counts = np.bincount(idx, minlength=d)
+    r = max(1, int(counts.max()))
+    inv = np.full((d, r), -1, np.int64)
+    fill = np.zeros(d, np.int64)
+    for j, pos in enumerate(idx):
+        inv[pos, fill[pos]] = j
+        fill[pos] += 1
+    return inv.astype(np.int32), r
+
+
 def rm_rx(e_llr, k: int, rv: int, f: int = 0, n_cb: int | None = None):
     """Soft-combine LLRs back into the dcat layout: [..., E] -> [..., 3*(K+4)].
 
@@ -249,11 +268,13 @@ def rm_rx(e_llr, k: int, rv: int, f: int = 0, n_cb: int | None = None):
     import jax.numpy as jnp
 
     e = e_llr.shape[-1]
-    idx = jnp.asarray(rm_indices(k, e, rv, f, n_cb))
-    out = jnp.zeros(e_llr.shape[:-1] + (3 * (k + 4),), e_llr.dtype)
-    out = out.at[..., idx].add(e_llr)
+    inv, r = _rm_rx_inverse(k, e, rv, f, n_cb)
+    inv_j = jnp.asarray(np.maximum(inv, 0))
+    mask = jnp.asarray((inv >= 0).astype(np.float32))
+    gathered = e_llr[..., inv_j]  # [..., 3*(K+4), R]
+    out = jnp.sum(gathered * mask, axis=-1).astype(e_llr.dtype)
     if f > 0:
-        fill = jnp.zeros((3 * (k + 4),), e_llr.dtype)
-        fill = fill.at[:f].set(-1e4)  # d0 fillers known 0
-        out = out + fill
+        fill = np.zeros(3 * (k + 4), np.float32)
+        fill[:f] = -1e4  # d0 fillers known 0
+        out = out + jnp.asarray(fill)
     return out

@@ -105,7 +105,7 @@ def dlsch_encode(bits, cfg: DlschConfig):
     return jnp.concatenate(out, axis=-1).astype(jnp.uint8)
 
 
-def dlsch_decode(llr, cfg: DlschConfig, n_iter: int = 5, early: int = 2):
+def dlsch_decode(llr, cfg: DlschConfig, n_iter: int = 5, early: int = 1):
     """llr [..., G] (positive ⇒ bit 1) -> (bits [..., tbs] uint8, crc_ok [...]).
 
     Early termination, TPU style: the reference's turbo decoder stops

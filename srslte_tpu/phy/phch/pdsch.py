@@ -105,6 +105,19 @@ class Pdsch:
         ps, pb = sf_flags(self.sf_idx)
         return pdsch_re_indices(self.cell, self.grant.prb_mask, self.cfi, ps, pb)
 
+    @functools.cached_property
+    def _map_inverse(self) -> np.ndarray:
+        """Gather map realizing the RE scatter: out[i] = concat(grid, sym)[inv[i]].
+
+        TPU idiom: scatter (`.at[idx].set`) lowers to serialized updates;
+        a gather over [grid | symbols] with a precomputed inverse permutation
+        is one fast vectorized op."""
+        o = self.cell.ofdm
+        n = o.nsymb_sf * o.nof_re
+        inv = np.arange(n, dtype=np.int64)
+        inv[self.re_idx] = n + np.arange(len(self.re_idx))
+        return inv.astype(np.int32)
+
     @property
     def cinit(self) -> int:
         return pdsch_cinit(self.rnti, 0, self.sf_idx, self.cell.id)
@@ -122,16 +135,18 @@ class Pdsch:
         scr = scramble_bits(coded, self.cinit)
         sym = modulate(scr, self.grant.modulation)
         o = self.cell.ofdm
-        idx = jnp.asarray(self.re_idx)
+        inv = jnp.asarray(self._map_inverse)
         shape = grids.shape[:-2] + (o.nsymb_sf * o.nof_re,)
+        flat = grids.reshape(shape)
         if self.cell.nof_ports == 1:
-            flat = grids.reshape(shape)
-            flat = flat.at[..., 0, idx].set(sym)
+            flat = flat.at[..., 0, :].set(
+                jnp.concatenate([flat[..., 0, :], sym], axis=-1)[..., inv])
         elif self.cell.nof_ports == 2:
             tx = alamouti_encode_2tx(sym)  # [..., 2, n]
-            flat = grids.reshape(shape)
-            flat = flat.at[..., 0, idx].set(tx[..., 0, :])
-            flat = flat.at[..., 1, idx].set(tx[..., 1, :])
+            for p in range(2):
+                flat = flat.at[..., p, :].set(
+                    jnp.concatenate([flat[..., p, :], tx[..., p, :]],
+                                    axis=-1)[..., inv])
         else:
             raise NotImplementedError("4-port PDSCH not yet implemented")
         return flat.reshape(grids.shape)

@@ -179,3 +179,23 @@ def test_sched_to_phy_integration():
         out, ok = pdsch.decode(grid, ce, info["noise"])
         assert bool(np.asarray(ok))
         np.testing.assert_array_equal(np.asarray(out), payloads[a.rnti])
+
+
+def test_ul_scheduler_bsr_driven():
+    from srslte_tpu.mac.sched import SchedUl
+
+    cell = Cell(n_prb=25, id=3)
+    s = SchedUl(cell, cfi=2)
+    s.ul_bsr(0x50, 100)
+    s.ul_bsr(0x51, 40)
+    s.mcs[0x50] = 12
+    allocs = s.schedule(4)
+    assert len(allocs) == 2
+    s.check_invariants(allocs)
+    # grants cover the reported buffers
+    for a in allocs:
+        assert a.tbs >= 0
+    assert s.bsr[0x50] < 100 and s.bsr[0x51] < 40
+    # empty BSR -> nothing scheduled
+    s.bsr = {0x50: 0}
+    assert s.schedule(5) == []
