@@ -34,8 +34,13 @@ def main():
 
     @jax.jit
     def step(key):
-        # bits generated on device: host<->device traffic is one key + a count
-        bits = jax.random.bernoulli(key, 0.5, (batch, pipe.tbs)).astype(jnp.uint8)
+        # bits generated on device: host<->device traffic is one key + a
+        # count.  Draw packed uint32 words and unpack — 32x fewer PRNG
+        # invocations than bernoulli over the bit tensor.
+        nbytes = -(-pipe.tbs // 8)
+        words = jax.random.bits(key, (batch, nbytes), jnp.uint8)
+        bits = ((words[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1)
+        bits = bits.reshape(batch, nbytes * 8)[:, : pipe.tbs]
         out, ok, bler = pipe.e2e(bits, n_iter=5)
         return ok.sum().astype(jnp.float32)
 

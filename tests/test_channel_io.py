@@ -135,3 +135,31 @@ def test_agc_converges():
     y, gains, rssi = agc.process(jnp.asarray(x.astype(np.complex64)), 1024)
     final_rms = np.sqrt(np.mean(np.abs(np.asarray(y)[-4096:]) ** 2))
     assert abs(final_rms - 0.3) / 0.3 < 0.15
+
+
+def test_block_code_roundtrip():
+    from srslte_tpu.phy.fec.block import block_decode, block_encode
+
+    rng = np.random.default_rng(7)
+    for k in (1, 4, 8, 11):
+        bits = rng.integers(0, 2, k).astype(np.uint8)
+        for e in (32, 20, 64):
+            cw = block_encode(bits, e)
+            assert cw.shape[-1] == e
+            llr = (2.0 * cw - 1.0) * 3 + rng.standard_normal(e).astype(np.float32)
+            out, metric = block_decode(jnp.asarray(llr.astype(np.float32)), k)
+            np.testing.assert_array_equal(np.asarray(out), bits)
+
+
+def test_hst_doppler_trajectory():
+    from srslte_tpu.phy.channel.hst import apply_hst, hst_doppler
+
+    # near the eNB crossing the Doppler flips sign
+    t = np.array([0.0, 1.79, 1.81, 3.5])
+    f = hst_doppler(t, f_d=750.0, ds=300.0, d_min=2.0, v=300.0)
+    assert f[0] > 700  # approaching: near +f_d
+    assert f[1] > 0 > f[2] or f[1] * f[2] < 0  # sign change at crossing
+    x = jnp.ones(2048, jnp.complex64)
+    y = np.asarray(apply_hst(x, 1_920_000, 750.0))
+    assert np.allclose(np.abs(y), 1.0, atol=1e-5)
+    assert not np.allclose(y, 1.0)  # actually rotating
