@@ -41,17 +41,49 @@ def _interp_matrix(pos: np.ndarray, n: int) -> np.ndarray:
     return w
 
 
+def _wiener_matrix(pilot_k: np.ndarray, n: int, tau_max: float,
+                   snr_lin: float, out_k: np.ndarray | None = None) -> np.ndarray:
+    """MMSE (Wiener) frequency filter [P, n] for a uniform PDP of length
+    tau_max (fraction of the symbol; CP-length is the natural choice).
+
+    R(dk) = E[h(k) h*(k+dk)] for a uniform power-delay profile on
+    [0, tau_max*N] samples: sinc envelope with a linear phase — the same
+    model wiener_dl.c tabulates.  W = R_dp (R_pp + I/snr)^-1.
+
+    pilot_k/out_k must be FFT-BIN coordinates (continuous spacing); the
+    caller accounts for the skipped DC bin in the RE grid.
+    """
+    # uniform PDP on [a, b] with margins: robust to taps slightly outside
+    # the CP and to timing-offset bias (wiener_dl.c centers similarly)
+    a, b = -0.25 * tau_max, 1.25 * tau_max
+
+    def corr(dk):
+        x = np.pi * dk * (b - a)
+        s = np.where(np.abs(x) < 1e-9, 1.0, np.sin(x) / np.where(x == 0, 1, x))
+        return s * np.exp(-1j * np.pi * dk * (a + b))
+
+    kp = pilot_k.astype(np.float64)
+    ka = (np.arange(n, dtype=np.float64) if out_k is None
+          else np.asarray(out_k, np.float64))
+    r_pp = corr(kp[:, None] - kp[None, :])
+    r_dp = corr(ka[:, None] - kp[None, :])
+    w = r_dp @ np.linalg.inv(r_pp + np.eye(len(kp)) / snr_lin)
+    return w.T.astype(np.complex64)  # [P, n] for pil @ W
+
+
 @dataclass(frozen=True)
 class ChestDL:
     """Channel estimator for one cell bucket.
 
     algorithm: "average" (time-average CRS symbols then one freq interp — the
-    reference's SRSRAN_ESTIMATOR_ALG_AVERAGE) or "interpolate" (per-CRS-symbol
-    freq interp + linear time interp).
+    reference's SRSRAN_ESTIMATOR_ALG_AVERAGE), "interpolate" (per-CRS-symbol
+    freq interp + linear time interp), or "wiener" (MMSE frequency filter
+    assuming a CP-length uniform PDP at wiener_snr_db — wiener_dl.c analog).
     """
 
     cell: Cell
     algorithm: str = "average"
+    wiener_snr_db: float = 20.0
 
     @functools.cached_property
     def _tables(self):
@@ -60,10 +92,20 @@ class ChestDL:
         tabs = []
         for port in range(self.cell.nof_ports):
             syms, ks = rs.crs_re_indices(self.cell, port)
-            if self.algorithm == "average":
+            if self.algorithm in ("average", "wiener"):
                 # merge all CRS symbols: pilot freq positions = union of shifts
                 allk = np.unique(ks.reshape(-1))
-                w = _interp_matrix(allk, o.nof_re)  # [P, nof_re]
+                if self.algorithm == "wiener":
+                    cp = o.cp_lens_slot()[1]
+                    # RE-grid index -> continuous bin coordinate (the grid
+                    # skips the DC bin between halves)
+                    half = o.nof_re // 2
+                    pk = allk + (allk >= half)
+                    ok_ = np.arange(o.nof_re) + (np.arange(o.nof_re) >= half)
+                    w = _wiener_matrix(pk, o.nof_re, cp / o.symbol_sz,
+                                       10 ** (self.wiener_snr_db / 10), ok_)
+                else:
+                    w = _interp_matrix(allk, o.nof_re)  # [P, nof_re]
                 tabs.append((syms, ks, allk, w, None))
             else:
                 w = np.stack([_interp_matrix(k, o.nof_re) for k in ks])
@@ -91,7 +133,7 @@ class ChestDL:
             ls = rx * jnp.conj(refs)  # LS estimates [., S, 2nprb]
 
             rsrp = jnp.abs(jnp.mean(ls, axis=(-1, -2))) ** 2  # per batch element
-            if self.algorithm == "average":
+            if self.algorithm in ("average", "wiener"):
                 # average the S shifted pilot combs onto the union grid allk
                 slot = np.searchsorted(allk, ks)  # [S, 2nprb] -> union position
                 acc = jnp.zeros(ls.shape[:-2] + (len(allk),), ls.dtype)

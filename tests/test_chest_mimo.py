@@ -108,3 +108,62 @@ def test_alamouti_varying_channel():
     out = np.asarray(alamouti_decode_2tx(jnp.asarray(y), jnp.asarray(h0), jnp.asarray(h1)))
     evm = np.sqrt(np.mean(np.abs(out - x) ** 2) / np.mean(np.abs(x) ** 2))
     assert evm < 0.05
+
+
+def test_wiener_chest_beats_linear_on_selective_channel():
+    """Wiener/MMSE freq filter vs linear interp under delay spread + noise,
+    compared against the EXACT channel response of the fading model
+    (wiener_dl.c analog)."""
+    import jax
+    from srslte_tpu.phy.channel import FadingChannel, awgn
+    from srslte_tpu.phy.enb.enb_dl import EnbDl
+    from srslte_tpu.phy.ofdm import Ofdm
+
+    cell = Cell(n_prb=25, id=3, nof_ports=1)
+    o = cell.ofdm
+    enb = EnbDl(cell)
+    g = enb.put_base(enb.empty_grids(), 1)
+    s = enb.gen_signal(g)[..., 0, :]
+    ch = FadingChannel("etu", doppler_hz=0.0, srate=o.srate, seed=9)
+    rx = awgn(jax.random.PRNGKey(1), ch(s), 15.0)
+    grid = Ofdm(o, normalize=True).rx_sf(rx)
+
+    # exact H on the grid bins from the channel model itself
+    gains = np.asarray(ch.tap_gains(jnp.asarray([0.0])))[0]
+    d, _ = ch._taps
+    N = o.symbol_sz
+    half = o.nof_re // 2
+    bins = np.concatenate([np.arange(N - half, N), np.arange(1, half + 1)])
+    f = np.where(bins >= N // 2, bins - N, bins) / N
+    h_true = (gains[None, :] * np.exp(-2j * np.pi * np.outer(f, d))).sum(1)
+
+    errs = {}
+    for algo in ("average", "wiener"):
+        ce, _ = ChestDL(cell, algorithm=algo).estimate(grid, 1)
+        errs[algo] = float(np.mean(np.abs(np.asarray(ce)[0] - h_true) ** 2))
+    assert errs["wiener"] < 0.5 * errs["average"], errs
+
+
+def test_pdsch_over_etu_with_wiener_chest():
+    import jax
+    from srslte_tpu.phy.channel import FadingChannel, awgn
+    from srslte_tpu.phy.enb.enb_dl import EnbDl
+    from srslte_tpu.phy.phch.pdsch import Pdsch
+    from srslte_tpu.phy.phch.ra import DlGrant
+    from srslte_tpu.phy.ue.ue_dl import UeDl
+
+    cell = Cell(n_prb=25, id=9)
+    grant = DlGrant.full(25, 10)  # 16QAM
+    pdsch = Pdsch(cell, grant, sf_idx=4, rnti=0x10)
+    enb = EnbDl(cell)
+    ue = UeDl(cell, chest_algorithm="wiener")
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2, (grant.tbs,)).astype(np.uint8)
+    g = enb.put_base(enb.empty_grids(), 4)
+    g = enb.put_pdsch(g, pdsch, jnp.asarray(bits))
+    s = enb.gen_signal(g)[..., 0, :]
+    ch = FadingChannel("etu", doppler_hz=5.0, srate=cell.ofdm.srate, seed=4)
+    noisy = awgn(jax.random.PRNGKey(7), ch(s), 22.0)
+    out, ok, info = ue.decode_pdsch(noisy, pdsch)
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(out), bits)
