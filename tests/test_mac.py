@@ -199,3 +199,33 @@ def test_ul_scheduler_bsr_driven():
     # empty BSR -> nothing scheduled
     s.bsr = {0x50: 0}
     assert s.schedule(5) == []
+
+
+def test_bsr_phr_ces():
+    from srslte_tpu.mac.proc import (BsrProc, SrProc, bsr_index, long_bsr_ce,
+                                     parse_long_bsr, parse_phr, phr_ce,
+                                     short_bsr_ce)
+
+    assert bsr_index(0) == 0
+    assert bsr_index(1) == 1
+    assert bsr_index(150) == 19  # 146 <= 150 < 171
+    assert bsr_index(10**6) == 63
+    ce = short_bsr_ce(2, 150)
+    assert ce[0] >> 6 == 2 and (ce[0] & 0x3F) == 19
+    lb = long_bsr_ce([0, 150, 2000, 10**6])
+    assert parse_long_bsr(lb) == [0, 19, bsr_index(2000), 63]
+    assert parse_phr(phr_ce(10.0)) == 10.0
+    assert parse_phr(phr_ce(-40)) == -23.0  # clamped
+
+    b = BsrProc(periodic_timer=4)
+    b.buffer_state_changed(500)
+    assert b.generate({0: 500}) is not None
+    assert b.generate({0: 500}) is None  # one-shot until re-triggered
+    for _ in range(4):
+        b.tick()
+    assert b.generate({0: 500}) is not None  # periodic re-trigger
+
+    sr = SrProc(max_sr=2)
+    sr.trigger()
+    assert sr.sr_opportunity() and sr.sr_opportunity()
+    assert not sr.sr_opportunity() and sr.failed
