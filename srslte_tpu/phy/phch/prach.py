@@ -9,21 +9,31 @@ corr :467).
 
 TPU-first: detection correlates against ALL configured roots at once (one
 [nroots, 839] multiply + batched IFFT) and scores every cyclic-shift region
-with a segment-max — no per-root/per-shift loops.  Current limits vs the
-reference: formats 0-3 long preambles only (no 4), unrestricted sets only
-(no high-speed restricted shifts), and root indices are PHYSICAL u values
-(the logical table 5.7.2-4 ordering is not yet included).
+with a segment-max — no per-root/per-shift loops.  Root sequence indices are
+LOGICAL (36.211 table 5.7.2-4, shipped as prach_roots.npz — see
+tools/extract_prach_roots.py).  Current limits vs the reference: formats 0-3
+long preambles only (no format 4), unrestricted sets only (no high-speed
+restricted cyclic shifts).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import numpy as np
 
 from ..common.params import OfdmParams
 from ..common.zc import zadoff_chu
+
+_ROOTS_NPZ = os.path.join(os.path.dirname(__file__), "prach_roots.npz")
+
+
+@functools.lru_cache(maxsize=1)
+def logical_roots() -> np.ndarray:
+    """36.211 table 5.7.2-4: logical index -> physical root u (838 entries)."""
+    return np.load(_ROOTS_NPZ)["long"].astype(np.int64)
 
 NZC = 839
 DELTA_F_RA = 1250  # Hz
@@ -40,7 +50,7 @@ NCS_UNRESTRICTED = (0, 13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93, 119, 167, 279
 @dataclass(frozen=True)
 class PrachConfig:
     params: OfdmParams  # cell UL numerology (sets the sample rate)
-    root_u: int = 129  # physical ZC root of the first sequence
+    root_seq_idx: int = 0  # LOGICAL root sequence index (rootSequenceIndex)
     zero_corr_cfg: int = 4  # index into the N_cs table
     freq_offset_prb: int = 0  # n_PRB_RA offset from the band edge
     fmt: int = 0
@@ -59,8 +69,10 @@ class PrachConfig:
 
     @functools.cached_property
     def roots(self) -> tuple[int, ...]:
-        """Physical roots used (consecutive from root_u, wrapping 1..838)."""
-        return tuple((self.root_u - 1 + i) % (NZC - 1) + 1
+        """Physical roots: consecutive LOGICAL indices from root_seq_idx
+        mapped through table 5.7.2-4 (prach.c:380 semantics)."""
+        tab = logical_roots()
+        return tuple(int(tab[(self.root_seq_idx + i) % 838])
                      for i in range(self.n_roots))
 
     @property

@@ -21,7 +21,7 @@ def test_preamble_lengths_format0():
 
 
 def test_prach_detect_all_preambles_clean():
-    cfg = PrachConfig(OfdmParams(6), root_u=129, zero_corr_cfg=7)  # ncs=38
+    cfg = PrachConfig(OfdmParams(6), root_seq_idx=0, zero_corr_cfg=7)  # ncs=38
     for idx in (0, 1, 21, 22, 63):
         s = prach_gen(cfg, idx)
         det, metric, toff = prach_detect(cfg, jnp.asarray(s))
@@ -62,3 +62,15 @@ def test_prach_batched_windows():
     det = np.asarray(det)
     assert det[0, 3] and det[1, 40]
     assert det.sum() == 2
+
+
+def test_logical_root_table():
+    from srslte_tpu.phy.phch.prach import logical_roots
+
+    tab = logical_roots()
+    assert len(tab) == 838
+    assert sorted(tab.tolist()) == list(range(1, 839))
+    # 36.211 table 5.7.2-4 starts 129, 710, 140, 699 (conjugate pairs)
+    assert list(tab[:4]) == [129, 710, 140, 699]
+    cfg = PrachConfig(OfdmParams(6), root_seq_idx=0, zero_corr_cfg=7)
+    assert cfg.roots[0] == 129
