@@ -214,39 +214,45 @@ def ldpc_decode(llr, graph: LdpcGraph, n_iter: int = 8):
     Punctured/shortened positions carry 0 LLR; filler positions should carry
     a large NEGATIVE LLR (known 0 bits).  Returns (hard [..., K] uint8,
     ok [...] parity check).
+
+    The 46/42 base-row updates are statically unrolled (static gathers);
+    the ITERATION loop is a fori_loop so the compiled graph stays one
+    iteration deep (Python-unrolling iterations made XLA compile time
+    explode at large Zc).
     """
+    import jax
     import jax.numpy as jnp
 
     zc = graph.zc
     batch = llr.shape[:-1]
     # decoder convention: positive => bit 0 (classic min-sum); flip in/out
-    v = (-llr).reshape(batch + (graph.n_blocks, zc)).astype(jnp.float32)
-    msgs = {r: jnp.zeros(batch + (len(graph.rows[r][0]), zc), jnp.float32)
-            for r in range(graph.m_blocks)}
+    v0 = (-llr).reshape(batch + (graph.n_blocks, zc)).astype(jnp.float32)
+    max_deg = max(len(graph.rows[r][0]) for r in range(graph.m_blocks))
+    msgs0 = jnp.zeros(batch + (graph.m_blocks, max_deg, zc), jnp.float32)
 
-    for _ in range(n_iter):
+    def one_iteration(_, carry):
+        v, msgs = carry
         for r in range(graph.m_blocks):
             cols, shs = graph.rows[r]
-            cols_j = jnp.asarray(cols)
-            # gather + rotate into check-node alignment
+            deg = len(cols)
             t = jnp.stack([_roll(v[..., int(c), :], int(sh))
                            for c, sh in zip(cols, shs)], axis=-2)
-            t = t - msgs[r]
+            t = t - msgs[..., r, :deg, :]
             sgn = jnp.prod(jnp.sign(t) + (t == 0), axis=-2, keepdims=True)
             a = jnp.abs(t)
             m1 = jnp.min(a, axis=-2, keepdims=True)
-            # second minimum: min over others = where(a==m1, m2, m1)
             big = jnp.where(a == jnp.broadcast_to(m1, a.shape), jnp.inf, a)
             m2 = jnp.min(big, axis=-2, keepdims=True)
             mins = jnp.where(a == jnp.broadcast_to(m1, a.shape), m2, m1)
             s_excl = sgn * (jnp.sign(t) + (t == 0))  # product of others
             new = MINSUM_SCALE * s_excl * mins
             t = t + new
-            msgs[r] = new
-            # rotate back + scatter
+            msgs = msgs.at[..., r, :deg, :].set(new)
             for i, (c, sh) in enumerate(zip(cols, shs)):
                 v = v.at[..., int(c), :].set(_roll(t[..., i, :], -int(sh)))
+        return v, msgs
 
+    v, _ = jax.lax.fori_loop(0, n_iter, one_iteration, (v0, msgs0))
     hard = (v.reshape(batch + (graph.n_full,)) < 0).astype(jnp.uint8)
     ok = ldpc_check(hard, graph)
     return hard[..., : graph.k], ok

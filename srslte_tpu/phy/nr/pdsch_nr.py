@@ -1,0 +1,131 @@
+"""NR PDSCH processor, single layer / type-1 DMRS (38.211 §7.3.1, pdsch_nr.c).
+
+Reference behavior: lib/src/phy/phch/pdsch_nr.c — NR DL-SCH (LDPC) coding,
+scrambling c_init = rnti*2^15 + n_ID, modulation up to 256QAM, mapping over
+the 14-symbol slot grid skipping the DMRS symbol(s); decode with DMRS LS
+channel estimation + equalization.
+
+Single antenna port, full-slot allocation per (carrier, n_prb, mcs) bucket;
+the same static-gather idioms as the LTE pdsch.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ...utils.jit import lazy_jit
+from ..common.scrambling import scramble_bits, scramble_llr
+from ..mimo import equalize_zf
+from ..modem.modem import Modulation, demod_soft, modulate
+from .dlsch_nr import NrDlschConfig, nr_dlsch_decode, nr_dlsch_encode
+from .dmrs import dmrs_subcarriers, dmrs_values
+from .params import NSYMB_SLOT, NrCarrier
+
+DMRS_SYMBOL = 2  # PDSCH mapping type A, single-symbol DMRS at l=2
+
+
+def pdsch_nr_cinit(rnti: int, n_id: int, q: int = 0) -> int:
+    return ((rnti << 15) + (q << 14) + n_id) % (1 << 31)
+
+
+@dataclass(frozen=True)
+class NrPdsch:
+    carrier: NrCarrier
+    mcs_qm: int = 6  # modulation order (2/4/6/8)
+    rate: float = 0.5  # target code rate -> TBS = rate * available bits
+    rnti: int = 0x4601
+    slot: int = 0
+
+    @property
+    def modulation(self) -> Modulation:
+        return {2: Modulation.QPSK, 4: Modulation.QAM16, 6: Modulation.QAM64,
+                8: Modulation.QAM256}[self.mcs_qm]
+
+    @functools.cached_property
+    def re_idx(self) -> np.ndarray:
+        """Data RE indices over the slot grid [NSYMB_SLOT, nof_re]."""
+        nre = self.carrier.nof_re
+        idx = []
+        for l in range(NSYMB_SLOT):
+            if l == DMRS_SYMBOL:
+                continue
+            idx.append(l * nre + np.arange(nre))
+        return np.concatenate(idx).astype(np.int32)
+
+    @functools.cached_property
+    def cfg(self) -> NrDlschConfig:
+        from .dlsch_nr import nr_cbsegm
+
+        g = len(self.re_idx) * self.mcs_qm
+        tbs = int(g * self.rate) // 8 * 8  # simplified 38.214 TBS quantize
+        # 38.214 TBS values make B divisible by C; our simplified quantizer
+        # walks down until the segmentation divides evenly
+        while tbs > 8:
+            seg = nr_cbsegm(tbs, self.rate)
+            if (tbs + seg.tb_crc_len) % seg.C == 0:
+                break
+            tbs -= 8
+        return NrDlschConfig(tbs=tbs, G=g, Qm=self.mcs_qm, rate=self.rate)
+
+    @property
+    def tbs(self) -> int:
+        return self.cfg.tbs
+
+    @property
+    def cinit(self) -> int:
+        return pdsch_nr_cinit(self.rnti, self.carrier.n_id)
+
+    # -- gNB side -------------------------------------------------------------
+    @lazy_jit(static_argnums=(0,))
+    def encode(self, bits):
+        """bits [..., tbs] -> slot grid [..., NSYMB_SLOT, nof_re] complex64."""
+        import jax.numpy as jnp
+
+        nre = self.carrier.nof_re
+        coded = nr_dlsch_encode(bits, self.cfg)
+        scr = scramble_bits(coded, self.cinit)
+        sym = modulate(scr, self.modulation)
+        grid = jnp.zeros(bits.shape[:-1] + (NSYMB_SLOT * nre,), jnp.complex64)
+        grid = grid.at[..., jnp.asarray(self.re_idx)].set(sym)
+        grid = grid.reshape(bits.shape[:-1] + (NSYMB_SLOT, nre))
+        ks = jnp.asarray(dmrs_subcarriers(self.carrier))
+        pil = jnp.asarray(dmrs_values(self.carrier, self.slot, DMRS_SYMBOL))
+        return grid.at[..., DMRS_SYMBOL, ks].set(pil)
+
+    # -- UE side --------------------------------------------------------------
+    @lazy_jit(static_argnums=(0,), static_argnames=("n_iter",))
+    def decode(self, grid, n_iter: int = 10):
+        """grid [..., NSYMB_SLOT, nof_re] -> (bits, ok, info).
+
+        LS estimate at the DMRS comb, linear interpolation across the comb,
+        constant extrapolation in time (single-symbol DMRS), ZF equalize.
+        """
+        import jax.numpy as jnp
+
+        nre = self.carrier.nof_re
+        ks = jnp.asarray(dmrs_subcarriers(self.carrier))
+        pil = jnp.asarray(dmrs_values(self.carrier, self.slot, DMRS_SYMBOL))
+        ls = grid[..., DMRS_SYMBOL, ks] * jnp.conj(pil)  # |pil| = 1
+        # comb-2 -> full band: repeat each estimate onto its pair of SCs
+        ce = jnp.repeat(ls, 2, axis=-1)[..., :nre]
+        # light freq smoothing (3-tap)
+        ce = (ce + jnp.roll(ce, 1, -1) + jnp.roll(ce, -1, -1)) / 3.0
+        noise = jnp.mean(jnp.abs(ls[..., 1:] - ls[..., :-1]) ** 2, -1) / 2
+
+        flat = grid.reshape(grid.shape[:-2] + (-1,))
+        y = flat[..., jnp.asarray(self.re_idx)]
+        h = jnp.tile(ce, (NSYMB_SLOT - 1,))  # same CE every data symbol
+        xhat = equalize_zf(y, h)
+        gain = jnp.abs(h) ** 2
+        w = gain / jnp.maximum(noise[..., None], 1e-9)
+        llr = demod_soft(xhat, self.modulation)
+        llr = llr * jnp.repeat(w, self.mcs_qm, axis=-1)
+        # saturate like the reference's int8/int16 LLR paths: keeps the
+        # filler-bit known-zero priors (-1e4 in rm_rx) dominant at high SNR
+        llr = jnp.clip(llr, -1e3, 1e3)
+        llr = scramble_llr(llr, self.cinit)
+        bits, ok = nr_dlsch_decode(llr, self.cfg, n_iter=n_iter)
+        return bits, ok, {"noise": noise}
