@@ -115,3 +115,28 @@ def test_srs_roundtrip():
     est = np.mean(np.asarray(h))
     assert abs(est - h_true) < 0.05
     assert float(np.asarray(noise)) < 1e-2
+
+
+def test_cqi_reporting():
+    from srslte_tpu.phy.phch.cqi import (CQI_TABLE, SubbandCqi, WidebandCqi,
+                                         cqi_from_snr)
+
+    assert cqi_from_snr(-10) == 0
+    assert cqi_from_snr(0.3) == 4
+    assert cqi_from_snr(30) == 15
+    assert CQI_TABLE[15] == (6, 948)
+    for r in (WidebandCqi(cqi=9), WidebandCqi(cqi=12, pmi=2, ri=1)):
+        back = WidebandCqi.unpack(r.pack(), has_pmi=r.pmi is not None,
+                                  has_ri=r.ri is not None)
+        assert back == r
+        assert len(r.pack()) == r.nof_bits()
+    sb = SubbandCqi(wideband=11, subband_diff=(0, 2, 1, 3))
+    assert SubbandCqi.unpack(sb.pack(), 4) == sb
+
+    # CQI rides the RM(20,A) PUCCH format 2 path end to end
+    cell = Cell(n_prb=25, id=91)
+    pucch = Pucch(cell, PucchConfig("2", n_pucch=5), sf_idx=1, rnti=0x3C)
+    rep = WidebandCqi(cqi=13)
+    grid = _roundtrip(cell, pucch, cqi_bits=tuple(rep.pack().tolist()), seed=5)
+    out = pucch.decode(grid, nof_cqi_bits=rep.nof_bits())
+    assert WidebandCqi.unpack(np.asarray(out["cqi"])).cqi == 13
