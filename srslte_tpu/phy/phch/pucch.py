@@ -14,7 +14,17 @@ TPU-first: an entire PUCCH transmission is two [nsym_slot, 12] constant
 tensors (built host-side per resource/subframe bucket) scaled by the data
 symbol(s); decoding is despread-by-matmul + DMRS MRC, and the RM(20, A)
 decode correlates against the full 2^A codebook in one matmul (pucch.c
-decodes bit-serially).  Format 3 and shortened (SRS) subframes not yet done.
+decodes bit-serially).
+
+Format 3 (36.211 §5.4.2A, pucch.c encode/decode_signal_format3): up to 11
+ACK+SR bits -> (32, O) block code repeated to 48 bits -> scrambled QPSK ->
+12 symbols per slot, block-spread over the 5 data SC-FDMA symbols with a
+DFT-5 OCC (n_oc0 = n_pucch mod 5, n_oc1 = 3*n_pucch mod 5), cyclic-shifted
+by n_cs_cell, phase-rotated by pi*floor(n_cs_cell/64)/2, and DFT-precoded.
+All of that is linear in the 12 data symbols, so here each slot is ONE
+constant [5, 12, 12] tensor (host-precomputed per bucket) applied by
+einsum; the reference loops symbol-by-symbol with explicit O(N^2) DFTs.
+Shortened (SRS) subframes not yet done.
 """
 
 from __future__ import annotations
@@ -83,7 +93,7 @@ def n_cs_cell(cell: Cell) -> np.ndarray:
 
 @dataclass(frozen=True)
 class PucchConfig:
-    fmt: str  # '1' | '1a' | '1b' | '2' | '2a' | '2b'
+    fmt: str  # '1' | '1a' | '1b' | '2' | '2a' | '2b' | '3'
     n_pucch: int
     delta_shift: int = 1
     n_cs_1: int = 0  # N_cs^(1)
@@ -95,7 +105,8 @@ class PucchConfig:
 
     @property
     def nof_ack_bits(self) -> int:
-        return {"1": 0, "1a": 1, "1b": 2, "2": 0, "2a": 1, "2b": 2}[self.fmt]
+        return {"1": 0, "1a": 1, "1b": 2, "2": 0, "2a": 1, "2b": 2,
+                "3": 0}[self.fmt]
 
 
 def _alpha_format1(cell: Cell, cfg: PucchConfig, ns: int, l: int):
@@ -140,6 +151,8 @@ def pucch_m(cell: Cell, cfg: PucchConfig) -> int:
             return cfg.n_rb_2
         return ((cfg.n_pucch - thr) // (c * NRE // cfg.delta_shift)
                 + cfg.n_rb_2 + int(np.ceil(cfg.n_cs_1 / 8)))
+    if cfg.fmt == "3":
+        return cfg.n_pucch // 5
     return cfg.n_pucch // NRE
 
 
@@ -195,9 +208,43 @@ def _format2_tables(cell: Cell, cfg_key: tuple, sf_idx: int):
     return np.stack(data).astype(np.complex64), np.stack(dmrs).astype(np.complex64), prbs
 
 
-def _f2_scramble_signed(cell: Cell, rnti: int, sf_idx: int) -> np.ndarray:
+def _f2_scramble_signed(cell: Cell, rnti: int, sf_idx: int,
+                        n: int = 20) -> np.ndarray:
     c_init = ((sf_idx + 1) * (2 * cell.id + 1) << 16) + rnti
-    return 1.0 - 2.0 * gold_sequence(c_init, 20).astype(np.float32)
+    return 1.0 - 2.0 * gold_sequence(c_init, n).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _format3_tables(cell: Cell, cfg_key: tuple, sf_idx: int):
+    """(enc [2 slots, 5, 12, 12], dmrs [2, 2, 12], prb [2]).
+
+    enc[slot, m] maps the slot's 12 QPSK symbols d -> the 12 REs of data
+    SC-FDMA symbol m:  z_k = h_m / sqrt(12) * sum_j e^{-j2pi((j-ncs)%12)k/12} d_j
+    (spreading weight + phase ramp + cyclic shift + DFT precode folded into
+    one matrix; unitary up to the |h_m| = 1 factor).
+    """
+    cfg = PucchConfig(*cfg_key)
+    ncs_tab = n_cs_cell(cell)
+    n_sf1 = 5  # non-shortened, normal CP
+    n_oc = (cfg.n_pucch % n_sf1, (3 * cfg.n_pucch) % n_sf1)
+    k = np.arange(NRE)
+    dft = np.exp(-2j * np.pi * np.outer(k, k) / NRE) / np.sqrt(NRE)
+    enc, dmrs, prbs = [], [], []
+    for slot in range(2):
+        ns = 2 * sf_idx + slot
+        prbs.append(pucch_prb(cell, cfg, ns))
+        mats = []
+        for m, l in enumerate(F2_DATA_SYMS):
+            ncs = int(ncs_tab[ns, l])
+            h = (np.exp(2j * np.pi * n_oc[slot] * m / n_sf1)
+                 * np.exp(1j * np.pi * (ncs // 64) / 2))
+            # column j of the precode DFT picks input index (j - ncs) % 12
+            mats.append(h * dft[:, (k - ncs) % NRE])
+        enc.append(np.stack(mats))
+        dmrs.append(np.stack([_rseq(cell, _alpha_format2(cell, cfg, ns, l))
+                              for l in F2_DMRS_SYMS]))
+    return (np.stack(enc).astype(np.complex64),
+            np.stack(dmrs).astype(np.complex64), prbs)
 
 
 def _d_ack(bits: tuple) -> complex:
@@ -247,14 +294,26 @@ class Pucch:
             dsy, msy = F1_DATA_SYMS, F1_DMRS_SYMS
             dvals = jnp.asarray(data) * d0
             mvals = jnp.asarray(dmrs)
+        elif self.cfg.fmt == "3":
+            from ..fec.block import block_encode
+
+            enc, dmrs, prbs = _format3_tables(self.cell, self._key, self.sf_idx)
+            cw = block_encode(np.asarray(ack_bits, np.uint8), 48)
+            s = _f2_scramble_signed(self.cell, self.rnti, self.sf_idx, 48)
+            sym = modulate(jnp.asarray(cw ^ (s < 0).astype(np.uint8)),
+                           Modulation.QPSK)
+            d = sym.reshape(2, NRE)  # slot 0 / slot 1 blocks
+            dsy, msy = F2_DATA_SYMS, F2_DMRS_SYMS
+            dvals = jnp.einsum("smkj,sj->smk", jnp.asarray(enc), d)
+            mvals = jnp.asarray(dmrs)
         else:
             data, dmrs, prbs = _format2_tables(self.cell, self._key, self.sf_idx)
             cw = rm20_encode(np.asarray(cqi_bits, np.uint8))
             s = _f2_scramble_signed(self.cell, self.rnti, self.sf_idx)
-            sym = np.asarray(modulate(
-                jnp.asarray((cw ^ (s < 0).astype(np.uint8))), Modulation.QPSK))
+            sym = modulate(jnp.asarray((cw ^ (s < 0).astype(np.uint8))),
+                           Modulation.QPSK)
             dsy, msy = F2_DATA_SYMS, F2_DMRS_SYMS
-            dvals = jnp.asarray(data * sym.reshape(2, 5)[..., None])
+            dvals = jnp.asarray(data) * sym.reshape(2, 5)[..., None]
             d10 = _d_ack(tuple(ack_bits))
             dm = dmrs.copy()
             dm[:, 1, :] *= d10  # 2a/2b: second DMRS symbol carries the ACK
@@ -270,11 +329,14 @@ class Pucch:
         return grid
 
     # -- eNB side -------------------------------------------------------------
-    def decode(self, grid, nof_cqi_bits: int = 0):
+    def decode(self, grid, nof_cqi_bits: int = 0, nof_ack3_bits: int = 0):
         """-> dict with detected bits and metrics.
 
         Format 1a/1b: {'ack': [n] bits, 'metric': correlation power}.
         Format 2/2a/2b: {'cqi': [A] bits, 'ack': [...], 'metric': ...}.
+        Format 3: {'ack': [nof_ack3_bits] bits, 'metric'} — the expected
+        ACK+SR payload size must be passed in (as the reference's
+        uci_cfg does).
         DMRS-based MRC per slot, despread by matmul (batched over grid dims).
         """
         import jax.numpy as jnp
@@ -303,6 +365,29 @@ class Pucch:
             best = jnp.argmin(dist, axis=-1)
             bits = jnp.stack([(best >> 1) & 1, best & 1], axis=-1).astype(jnp.uint8)
             return {"ack": bits, "metric": jnp.abs(d0)}
+
+        if self.cfg.fmt == "3":
+            from ..fec.block import block_decode
+
+            enc, dmrs, prbs = _format3_tables(self.cell, self._key, self.sf_idx)
+            ds = []
+            for slot in range(2):
+                y_d = self._slot_res(grid, slot, prbs[slot], F2_DATA_SYMS)
+                y_m = self._slot_res(grid, slot, prbs[slot], F2_DMRS_SYMS)
+                h = jnp.mean(y_m * jnp.conj(jnp.asarray(dmrs[slot])),
+                             axis=(-1, -2))
+                # enc[slot] is unitary per symbol: despread is the adjoint
+                d = jnp.einsum("mkj,...mk->...j",
+                               jnp.conj(jnp.asarray(enc[slot])), y_d) / 5.0
+                ds.append(d * jnp.conj(h)[..., None])
+            q = jnp.concatenate(ds, axis=-1)  # [..., 24] QPSK estimates
+            llr = demod_soft(q, Modulation.QPSK)  # [..., 48]
+            llr = llr * jnp.asarray(_f2_scramble_signed(
+                self.cell, self.rnti, self.sf_idx, 48))
+            bits, metric = block_decode(llr, nof_ack3_bits)
+            return {"ack": bits,
+                    "metric": metric / jnp.maximum(
+                        jnp.sum(jnp.abs(llr), -1), 1e-9)}
 
         data, dmrs, prbs = _format2_tables(self.cell, self._key, self.sf_idx)
         zs, hs = [], []

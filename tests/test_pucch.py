@@ -140,3 +140,34 @@ def test_cqi_reporting():
     grid = _roundtrip(cell, pucch, cqi_bits=tuple(rep.pack().tolist()), seed=5)
     out = pucch.decode(grid, nof_cqi_bits=rep.nof_bits())
     assert WidebandCqi.unpack(np.asarray(out["cqi"])).cqi == 13
+
+
+@pytest.mark.parametrize("nbits", [3, 11])
+def test_pucch_format3_roundtrip(nbits):
+    """Format 3: many-bit ACK payload through SC-FDMA + phase channel."""
+    cell = Cell(n_prb=25, id=31)
+    pucch = Pucch(cell, PucchConfig("3", n_pucch=7), sf_idx=4, rnti=0x1234)
+    rng = np.random.default_rng(nbits)
+    bits = tuple(rng.integers(0, 2, nbits).tolist())
+    grid = _roundtrip(cell, pucch, ack_bits=bits, seed=nbits, snr_db=10.0)
+    out = pucch.decode(grid, nof_ack3_bits=nbits)
+    assert tuple(np.asarray(out["ack"])) == bits
+    assert float(np.asarray(out["metric"])) > 0.3
+
+
+def test_pucch_format3_occ_orthogonality():
+    """Two format-3 users on the same PRB pair, separated only by the DFT-5
+    OCC (n_pucch 0 vs 1): both decode through a superposed grid."""
+    cell = Cell(n_prb=6, id=5)
+    rng = np.random.default_rng(9)
+    users = []
+    for n in (0, 1):
+        p = Pucch(cell, PucchConfig("3", n_pucch=n), sf_idx=2, rnti=100 + n)
+        bits = tuple(rng.integers(0, 2, 6).tolist())
+        users.append((p, bits))
+    grid = users[0][0].encode(ack_bits=users[0][1])
+    # superpose the second user's REs (same PRB, same symbols)
+    grid = grid + users[1][0].encode(ack_bits=users[1][1])
+    for p, bits in users:
+        out = p.decode(grid, nof_ack3_bits=6)
+        assert tuple(np.asarray(out["ack"])) == bits
