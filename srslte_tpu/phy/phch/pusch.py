@@ -8,8 +8,9 @@ MMSE equalization and IDFT de-precoding.
 
 TPU-first: the channel interleaver is one precomputed gather per (G, Qm)
 bucket; DFT precoding is a batched FFT; everything composes under jit with
-static shapes per grant bucket.  UCI multiplexing on PUSCH is not yet
-implemented (data-only transmissions).
+static shapes per grant bucket.  UCI (CQI/RI/ACK) multiplexing follows
+36.212 §5.2.2.6-5.2.4 via host-precomputed scatter/gather plans (see
+uci.py); pass a UciCfgUl to enable it.
 """
 
 from __future__ import annotations
@@ -23,10 +24,14 @@ from ..chest.chest_ul import ChestUl
 from ..chest.refsignal_ul import dmrs_symbol, pusch_dmrs
 from ..common.params import Cell
 from ..common.scrambling import pusch_cinit, scramble_bits, scramble_llr
+from ..common.sequence import gold_sequence
+from ..fec.cbsegm import cbsegm
 from ..modem.modem import demod_soft, modulate
 from .dft_precoding import dft_deprecode, dft_precode
 from .dlsch import DlschConfig, dlsch_decode, dlsch_encode
 from .ra_ul import UlGrant
+from .uci import UciCfgUl, encode_cqi, mux_stream, scramble_fixups, \
+    demux_llr, uci_plan
 
 UlschConfig = DlschConfig  # the SCH codec is shared (sch.c)
 
@@ -63,6 +68,7 @@ class Pusch:
     grant: UlGrant
     sf_idx: int
     rnti: int = 0x46
+    uci: UciCfgUl | None = None
 
     def __post_init__(self):
         if self.grant.prb_start + self.grant.n_prb > self.cell.n_prb:
@@ -77,9 +83,22 @@ class Pusch:
         return self.grant.n_prb * 12
 
     @functools.cached_property
+    def plan(self):
+        """UCI multiplexing plan, or None for data-only transmissions."""
+        if self.uci is None or not self.uci.has_uci:
+            return None
+        seg = cbsegm(self.grant.tbs)
+        k_segm = seg.C1 * seg.K1 + seg.C2 * seg.K2  # sch.c:1228
+        return uci_plan(self.m_sc, self.n_data_symbols,
+                        self.grant.modulation.bits_per_symbol, k_segm,
+                        self.uci)
+
+    @functools.cached_property
     def cfg(self) -> UlschConfig:
         qm = self.grant.modulation.bits_per_symbol
         g = self.n_data_symbols * self.m_sc * qm
+        if self.plan is not None:
+            g = self.plan.g_data
         return UlschConfig(tbs=self.grant.tbs, G=g, Qm=qm, rv=self.grant.rv)
 
     @property
@@ -95,20 +114,35 @@ class Pusch:
                 ).reshape(-1).astype(np.int32)
 
     # -- UE side --------------------------------------------------------------
-    def encode(self, bits, grid=None):
+    def encode(self, bits, grid=None, ack=None, ri=None, cqi=None):
         """bits [..., tbs] -> UL RE grid [..., nsymb_sf, nof_re] (complex64).
 
         Includes the DMRS so the output grid is transmit-ready for the
-        SC-FDMA modulator (Ofdm with +0.5 freq shift).
+        SC-FDMA modulator (Ofdm with +0.5 freq shift).  ack/ri are traced
+        payload bit arrays, cqi is a host payload (block-coded); all
+        require a UciCfgUl on the processor.
         """
         import jax.numpy as jnp
 
         o = self.cell.ofdm
         qm = self.cfg.Qm
         coded = dlsch_encode(bits, self.cfg)
-        idx = jnp.asarray(interleaver_indices(self.cfg.G, qm, self.n_data_symbols))
-        interleaved = coded[..., idx]
-        scr = scramble_bits(interleaved, self.cinit)
+        if self.plan is not None:
+            src = coded
+            if self.plan.n_cqi_bits:
+                cq = jnp.asarray(encode_cqi(cqi, self.plan.n_cqi_bits),
+                                 coded.dtype)
+                src = jnp.concatenate(
+                    [jnp.broadcast_to(cq, coded.shape[:-1] + cq.shape[-1:]),
+                     coded], -1)
+            stream = mux_stream(self.plan, src, ri=ri, ack=ack)
+            scr = scramble_fixups(self.plan,
+                                  scramble_bits(stream, self.cinit))
+        else:
+            idx = jnp.asarray(
+                interleaver_indices(self.cfg.G, qm, self.n_data_symbols))
+            interleaved = coded[..., idx]
+            scr = scramble_bits(interleaved, self.cinit)
         sym = modulate(scr, self.grant.modulation)
         sym = sym.reshape(sym.shape[:-1] + (self.n_data_symbols, self.m_sc))
         freq = dft_precode(sym)  # [..., nsym_data, M]
@@ -157,6 +191,13 @@ class Pusch:
                         qm, axis=-1)
         llr = llr * wq
         llr = scramble_llr(llr, self.cinit)
+        if self.plan is not None:
+            c = gold_sequence(self.cinit, self.plan.g_total)
+            res = demux_llr(self.plan, llr, c, self.uci)
+            bits, ok = dlsch_decode(res.pop("data_llr"), self.cfg,
+                                    n_iter=n_iter)
+            info = {**info, **res}
+            return bits, ok, info
         idx = jnp.asarray(interleaver_indices(self.cfg.G, qm, self.n_data_symbols))
         de_int = jnp.zeros_like(llr).at[..., idx].set(llr)
         bits, ok = dlsch_decode(de_int, self.cfg, n_iter=n_iter)

@@ -23,9 +23,12 @@ class UeUl:
     def ofdm(self) -> Ofdm:
         return Ofdm(self.cell.ofdm, normalize=True, freq_shift=0.5)
 
-    def encode_pusch(self, pusch: Pusch, bits, cfo: float = 0.0):
-        """bits [..., tbs] -> time samples [..., sf_len]."""
-        grid = pusch.encode(bits)
+    def encode_pusch(self, pusch: Pusch, bits, cfo: float = 0.0, **uci):
+        """bits [..., tbs] -> time samples [..., sf_len].
+
+        **uci forwards ack=/ri=/cqi= payloads when pusch carries a UciCfgUl.
+        """
+        grid = pusch.encode(bits, **uci)
         samples = self.ofdm.tx_sf(grid)
         if cfo:
             samples = cfo_correct(samples, -cfo, self.cell.ofdm.symbol_sz)

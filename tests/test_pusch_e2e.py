@@ -92,3 +92,53 @@ def test_pusch_e2e_channel_noise():
 def test_ul_tbs_table():
     assert ul_tbs(0, 1) == 16
     assert ul_tbs(20, 50) == ul_tbs(19 + 1, 50)
+
+
+def _uci_roundtrip(uci, mod_mcs=16, snr_db=18.0, seed=11, **payload):
+    from srslte_tpu.phy.phch.uci import UciCfgUl
+
+    cell = Cell(n_prb=50, id=33)
+    grant = UlGrant(prb_start=5, n_prb=16, mcs=mod_mcs)
+    pusch = Pusch(cell, grant, sf_idx=4, rnti=0x2ab, uci=UciCfgUl(**uci))
+    ue, enb = UeUl(cell), EnbUl(cell)
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, (grant.tbs,)).astype(np.uint8)
+    s = np.asarray(ue.encode_pusch(pusch, jnp.asarray(bits), **payload))
+    h = 0.9 * np.exp(1j * 0.4)
+    sigma = np.sqrt(np.mean(np.abs(s) ** 2) * abs(h) ** 2
+                    / 10 ** (snr_db / 10) / 2)
+    rx = h * s + sigma * (rng.standard_normal(s.shape)
+                          + 1j * rng.standard_normal(s.shape))
+    out, ok, info = enb.decode_pusch(jnp.asarray(rx.astype(np.complex64)),
+                                     pusch)
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(out), bits)
+    return info
+
+
+@pytest.mark.parametrize("ack", [(0,), (1,)])
+def test_pusch_uci_ack_1bit(ack):
+    info = _uci_roundtrip({"o_ack": 1}, ack=jnp.asarray(ack, jnp.uint8),
+                          seed=sum(ack))
+    assert tuple(np.asarray(info["ack"])) == ack
+
+
+@pytest.mark.parametrize("ack", [(0, 1), (1, 1)])
+def test_pusch_uci_ack_2bit_and_ri(ack):
+    info = _uci_roundtrip({"o_ack": 2, "o_ri": 1},
+                          ack=jnp.asarray(ack, jnp.uint8),
+                          ri=jnp.asarray((1,), jnp.uint8), seed=7 + sum(ack))
+    assert tuple(np.asarray(info["ack"])) == ack
+    assert tuple(np.asarray(info["ri"])) == (1,)
+
+
+def test_pusch_uci_cqi_ack_ri_16qam():
+    """Full UCI load on 16QAM: CQI block code + RI reserved + ACK puncture."""
+    cqi = (1, 0, 1, 1, 0, 1, 0)
+    info = _uci_roundtrip({"o_ack": 1, "o_ri": 1, "o_cqi": len(cqi)},
+                          mod_mcs=18, ack=jnp.asarray((1,), jnp.uint8),
+                          ri=jnp.asarray((0,), jnp.uint8),
+                          cqi=np.asarray(cqi, np.uint8), seed=3)
+    assert tuple(np.asarray(info["ack"])) == (1,)
+    assert tuple(np.asarray(info["ri"])) == (0,)
+    assert tuple(np.asarray(info["cqi"])) == cqi
