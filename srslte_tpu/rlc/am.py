@@ -4,11 +4,15 @@ Covered behaviors: AMD PDU build with concatenation/segmentation and poll
 bits, tx window with retransmission on NACK, STATUS PDU generation (ACK_SN +
 NACK list) triggered by polls and t-Reordering expiry, status prohibit,
 in-order delivery with reassembly, max-retx escalation flag
-(rlc_am_lte.cc:164-170 -> RRC radio-link-failure in the reference).
+(rlc_am_lte.cc:164-170 -> RRC radio-link-failure in the reference), and
+re-segmentation of retransmitted PDUs when the grant shrinks (RF=1 AMD PDU
+segments with LSF/SO, 36.322 §6.2.1.5, rlc_am_lte.cc build_segment):
+the receiver reconstructs the original PDU's data field byte-by-byte from
+the SO offsets and recovers SDU boundaries from each segment's own LIs.
 
-Not yet implemented vs the reference: re-segmentation of retransmitted PDUs
-(RF=1 segment PDUs) — retransmissions resend the whole PDU, which is what
-srsenb does when the grant is large enough.
+Not yet implemented vs the reference: SO-granular STATUS NACKs (E2=1) —
+NACKs always cover whole SNs, so a partially-received PDU is retransmitted
+in full (still interoperable; just less efficient on very lossy links).
 """
 
 from __future__ import annotations
@@ -31,30 +35,66 @@ class AmdPdu:
     segments: list
 
 
-def pack_amd(pdu: AmdPdu) -> bytes:
-    w = BitWriter()
-    lis = [len(s) for s in pdu.segments[:-1]]
+@dataclass
+class AmdSegPdu:
+    """RF=1 re-segmentation PDU: a byte range [so, so+len) of the original
+    AMD PDU's data field, with its own FI/LI view of that range."""
+
+    sn: int
+    fi: int
+    poll: bool
+    lsf: bool
+    so: int
+    segments: list
+
+
+def _pack_header(w: BitWriter, rf: int, poll: bool, fi: int, lis: list,
+                 sn: int):
     w.put(1, 1)  # D/C = data
-    w.put(0, 1)  # RF
-    w.put(1 if pdu.poll else 0, 1)
-    w.put(pdu.fi, 2)
+    w.put(rf, 1)
+    w.put(1 if poll else 0, 1)
+    w.put(fi, 2)
     w.put(1 if lis else 0, 1)
-    w.put(pdu.sn, 10)
+    w.put(sn, 10)
+
+
+def _pack_lis(w: BitWriter, lis: list):
     for i, li in enumerate(lis):
         w.put(1 if i < len(lis) - 1 else 0, 1)
         w.put(li, 11)
+
+
+def pack_amd(pdu: AmdPdu) -> bytes:
+    w = BitWriter()
+    lis = [len(s) for s in pdu.segments[:-1]]
+    _pack_header(w, 0, pdu.poll, pdu.fi, lis, pdu.sn)
+    _pack_lis(w, lis)
     return w.to_bytes() + b"".join(pdu.segments)
 
 
-def unpack_amd(raw: bytes) -> AmdPdu:
+def pack_amd_seg(pdu: AmdSegPdu) -> bytes:
+    w = BitWriter()
+    lis = [len(s) for s in pdu.segments[:-1]]
+    _pack_header(w, 1, pdu.poll, pdu.fi, lis, pdu.sn)
+    w.put(1 if pdu.lsf else 0, 1)
+    w.put(pdu.so, 15)
+    _pack_lis(w, lis)
+    return w.to_bytes() + b"".join(pdu.segments)
+
+
+def unpack_amd(raw: bytes):
+    """-> AmdPdu (RF=0) or AmdSegPdu (RF=1)."""
     r = BitReader(raw)
     assert r.get(1) == 1  # data
     rf = r.get(1)
-    assert rf == 0, "re-segmentation (RF=1) not supported"
     poll = bool(r.get(1))
     fi = r.get(2)
     e = r.get(1)
     sn = r.get(10)
+    lsf, so = False, 0
+    if rf:
+        lsf = bool(r.get(1))
+        so = r.get(15)
     lis = []
     while e:
         e = r.get(1)
@@ -66,6 +106,8 @@ def unpack_amd(raw: bytes) -> AmdPdu:
         segs.append(data[pos : pos + li])
         pos += li
     segs.append(data[pos:])
+    if rf:
+        return AmdSegPdu(sn, fi, poll, lsf, so, segs)
     return AmdPdu(sn, fi, poll, segs)
 
 
@@ -111,8 +153,9 @@ class RlcAm:
     _partial: bytes = b""
     _vt_s: int = 0
     _vt_a: int = 0
-    _tx_window: dict = field(default_factory=dict)  # sn -> (raw, n_tx)
+    _tx_window: dict = field(default_factory=dict)  # sn -> (raw, n_tx, pdu)
     _retx: deque = field(default_factory=deque)
+    _seg_so: dict = field(default_factory=dict)  # sn -> next resume offset
     _pdus_since_poll: int = 0
     max_retx_reached: bool = False
     # RX state
@@ -125,6 +168,7 @@ class RlcAm:
     _t_count: int = 0
     _vr_x: int = 0
     _reasm: Reassembler = field(default_factory=Reassembler)
+    _rx_segs: dict = field(default_factory=dict)  # sn -> {so: AmdSegPdu}
 
     # convenience
     @property
@@ -154,21 +198,33 @@ class RlcAm:
                 self._do_status = False
                 self._status_wait = self.t_status_prohibit
                 return pdu
-        # 2. retransmissions
+        # 2. retransmissions (re-segmented if the grant shrank)
         while self._retx:
             sn = self._retx[0]
             ent = self._tx_window.get(sn)
             if ent is None:
                 self._retx.popleft()
                 continue
-            raw, n_tx = ent
-            if len(raw) > nof_bytes:
-                return None  # no re-segmentation support: wait for big grant
-            self._retx.popleft()
-            if n_tx + 1 >= self.max_retx:
-                self.max_retx_reached = True  # RRC escalation signal
-            self._tx_window[sn] = (raw, n_tx + 1)
-            return raw
+            raw, n_tx, pdu = ent
+            so = self._seg_so.get(sn, 0)
+            if so == 0 and len(raw) <= nof_bytes:
+                self._retx.popleft()
+                if n_tx + 1 >= self.max_retx:
+                    self.max_retx_reached = True  # RRC escalation signal
+                self._tx_window[sn] = (raw, n_tx + 1, pdu)
+                return raw
+            seg = self._build_segment(pdu, so, nof_bytes)
+            if seg is None:
+                return None  # grant too small for any forward progress
+            if seg.lsf:
+                self._seg_so.pop(sn, None)
+                self._retx.popleft()
+                if n_tx + 1 >= self.max_retx:
+                    self.max_retx_reached = True
+                self._tx_window[sn] = (raw, n_tx + 1, pdu)
+            else:
+                self._seg_so[sn] = seg.so + sum(len(s) for s in seg.segments)
+            return pack_amd_seg(seg)
         # 3. new data
         if not self._partial and not self._queue:
             return None
@@ -205,9 +261,42 @@ class RlcAm:
         fi = (2 if first_cont else 0) | (1 if self._partial else 0)
         sn = self._vt_s
         self._vt_s = (self._vt_s + 1) % SN_MOD
-        raw = pack_amd(AmdPdu(sn, fi, poll, segs))
-        self._tx_window[sn] = (raw, 1)
+        pdu = AmdPdu(sn, fi, poll, segs)
+        raw = pack_amd(pdu)
+        self._tx_window[sn] = (raw, 1, pdu)
         return raw
+
+    def _build_segment(self, pdu: AmdPdu, so: int,
+                       nof_bytes: int) -> AmdSegPdu | None:
+        """Largest RF=1 segment of pdu's data field starting at so that
+        fits in nof_bytes (fixed header 4B + 12 bits per extra LI)."""
+        data = b"".join(pdu.segments)
+        total = len(data)
+        bounds = []  # byte offsets where a new SDU starts (excl. 0/total)
+        pos = 0
+        for s in pdu.segments[:-1]:
+            pos += len(s)
+            bounds.append(pos)
+        take = min(nof_bytes - 4, total - so)
+        for _ in range(8):  # shrink until LI overhead fits (converges fast)
+            if take <= 0:
+                return None
+            n_li = sum(1 for b in bounds if so < b < so + take)
+            hdr = (32 + 12 * n_li + 7) // 8
+            if hdr + take <= nof_bytes:
+                break
+            take = nof_bytes - hdr
+        else:
+            return None
+        end = so + take
+        cuts = [so] + [b for b in bounds if so < b < end] + [end]
+        segs = [data[a:b] for a, b in zip(cuts[:-1], cuts[1:])]
+        # FI first bit: segment starts mid-SDU unless so is an SDU boundary
+        first_cont = (pdu.fi & 2 != 0) if so == 0 else (so not in bounds)
+        last_cont = (pdu.fi & 1 != 0) if end == total else (end not in bounds)
+        fi = (2 if first_cont else 0) | (1 if last_cont else 0)
+        lsf = end == total
+        return AmdSegPdu(pdu.sn, fi, pdu.poll and lsf, lsf, so, segs)
 
     def _build_status(self) -> bytes:
         nacks = []
@@ -229,6 +318,13 @@ class RlcAm:
             if pdu.poll:
                 self._do_status = True
             return  # duplicate / stale
+        if isinstance(pdu, AmdSegPdu):
+            whole = self._collect_segment(pdu)
+            if whole is None:
+                if pdu.poll:
+                    self._do_status = True
+                return  # not yet complete
+            pdu = whole
         self._rx_window[sn] = pdu
         if not self._lt(sn, self._vr_h):
             self._vr_h = (sn + 1) % SN_MOD
@@ -244,6 +340,43 @@ class RlcAm:
             self._vr_r = (self._vr_r + 1) % SN_MOD
         if self._vr_r != self._vr_h and not self._t_active:
             self._t_active, self._t_count, self._vr_x = True, 0, self._vr_h
+
+    def _collect_segment(self, seg: AmdSegPdu) -> AmdPdu | None:
+        """Accumulate RF=1 parts; return the rebuilt AMD PDU once the byte
+        range [0, total) is fully covered and the LSF part has arrived."""
+        parts = self._rx_segs.setdefault(seg.sn, {})
+        parts[seg.so] = seg
+        lsf = next((p for p in parts.values() if p.lsf), None)
+        if lsf is None:
+            return None
+        total = lsf.so + sum(len(s) for s in lsf.segments)
+        data = bytearray(total)
+        covered = bytearray(total)
+        splits = set()
+        fi = 0
+        poll = False
+        for p in parts.values():
+            poll |= p.poll
+            pos = p.so
+            for i, piece in enumerate(p.segments):
+                if i > 0:
+                    splits.add(pos)  # an LI boundary: a new SDU starts here
+                data[pos : pos + len(piece)] = piece
+                for k in range(pos, min(pos + len(piece), total)):
+                    covered[k] = 1
+                pos += len(piece)
+            if p.so == 0:
+                fi |= p.fi & 2
+            elif not (p.fi & 2):
+                splits.add(p.so)  # segment's first byte starts an SDU
+            if p.lsf:
+                fi |= p.fi & 1
+        if not all(covered):
+            return None
+        del self._rx_segs[seg.sn]
+        cuts = [0] + sorted(s for s in splits if 0 < s < total) + [total]
+        segs = [bytes(data[a:b]) for a, b in zip(cuts[:-1], cuts[1:])]
+        return AmdPdu(seg.sn, fi, poll, segs)
 
     def _handle_status(self, raw: bytes):
         ack_sn, nacks = unpack_status(raw)

@@ -152,3 +152,75 @@ def test_am_stress_random_loss():
         if rx.rx_sdus == sdus:
             break
     assert rx.rx_sdus == sdus
+
+
+def test_am_resegmentation_small_retx_grant():
+    """A lost 3-SDU PDU is retransmitted through grants a third its size:
+    RF=1 segments with SO/LSF must rebuild the exact SDU boundaries."""
+    from srslte_tpu.rlc.am import AmdSegPdu, unpack_amd
+
+    tx, rx = RlcAm(t_reordering=1), RlcAm(t_reordering=1)
+    sdus = [bytes([0x40 + i]) * (30 + 7 * i) for i in range(3)]
+    for s in sdus:
+        tx.write_sdu(s)
+    big = tx.read_pdu(200)  # one PDU carrying all three SDUs
+    assert big is not None and tx.read_pdu(200) is None
+    # lost; NACK it
+    tx.write_pdu(pack_status(1, [0]))
+    segs = []
+    while True:
+        p = tx.read_pdu(40)  # far smaller than the original PDU
+        if p is None:
+            break
+        seg = unpack_amd(p)
+        assert isinstance(seg, AmdSegPdu)
+        segs.append(p)
+    assert len(segs) >= 3
+    for p in segs:
+        rx.write_pdu(p)
+    assert rx.rx_sdus == sdus
+
+
+def test_am_resegmentation_out_of_order_parts():
+    """Segment parts delivered shuffled still rebuild the original PDU."""
+    from srslte_tpu.rlc.am import AmdSegPdu, unpack_amd
+
+    tx, rx = RlcAm(), RlcAm()
+    sdus = [b"a" * 25, b"bb" * 20, b"c" * 33]
+    for s in sdus:
+        tx.write_sdu(s)
+    assert tx.read_pdu(200) is not None
+    tx.write_pdu(pack_status(1, [0]))
+    parts = []
+    while (p := tx.read_pdu(35)) is not None:
+        parts.append(p)
+    assert len(parts) >= 3
+    for p in reversed(parts):
+        rx.write_pdu(p)
+    assert rx.rx_sdus == sdus
+
+
+def test_am_stress_random_loss_tiny_retx_grants():
+    """Random loss with retx grants smaller than the original PDUs."""
+    rng = np.random.default_rng(21)
+    tx, rx = RlcAm(poll_pdu=3, t_reordering=1), RlcAm(t_reordering=1)
+    sdus = [rng.integers(0, 256, rng.integers(20, 150)).astype(np.uint8)
+            .tobytes() for _ in range(25)]
+    for s in sdus:
+        tx.write_sdu(s)
+    for rounds in range(200):
+        for _ in range(4):
+            grant = int(rng.integers(30, 120))
+            p = tx.read_pdu(grant)
+            if p is None:
+                break
+            if rng.random() > 0.2:
+                rx.write_pdu(p)
+        rx.tick()
+        tx.tick()
+        st = rx.read_pdu(200)
+        if st is not None and rng.random() > 0.1:
+            tx.write_pdu(st)
+        if rx.rx_sdus == sdus:
+            break
+    assert rx.rx_sdus == sdus
