@@ -142,3 +142,73 @@ def alamouti_decode_2tx(y, h0, h1, noise_var=0.0):
     x1 = (jnp.conj(h0b) * yb - h1a * jnp.conj(ya)) / denom
     out = jnp.stack([x0, x1], axis=-1).reshape(y.shape)
     return out * jnp.sqrt(2.0)
+
+
+# ------------------------------------------------------------- 4-port SFBC-FSTD
+def alamouti_encode_4tx(x):
+    """SFBC-FSTD: x [..., n] -> per-port symbols [..., 4, n].
+
+    36.211 §6.3.4.3 (4 antenna ports, precoding.c srsran_precoding_diversity
+    nof_ports==4): quadruple (x0..x3) occupies 4 REs; ports (0,2) carry an
+    Alamouti pair on the first two REs, ports (1,3) on the last two; the
+    other ports transmit zero there (frequency-switched diversity).  A
+    trailing n%4==2 remainder is sent as a plain 2-port pair on (0,2), as
+    the reference does.
+    """
+    n = x.shape[-1]
+    m = n - n % 4
+    q = x[..., :m].reshape(x.shape[:-1] + (m // 4, 4))
+    x0, x1, x2, x3 = (q[..., i] for i in range(4))
+    zero = jnp.zeros_like(x0)
+    c = jnp.conj
+    p0 = jnp.stack([x0, x1, zero, zero], -1)
+    p1 = jnp.stack([zero, zero, x2, x3], -1)
+    p2 = jnp.stack([-c(x1), c(x0), zero, zero], -1)
+    p3 = jnp.stack([zero, zero, -c(x3), c(x2)], -1)
+    out = jnp.stack([p0, p1, p2, p3], -3)
+    out = out.reshape(x.shape[:-1] + (4, m)) / jnp.sqrt(2.0)
+    if n % 4:
+        tail = alamouti_encode_2tx(x[..., m:])  # [..., 2, rem] on ports 0, 2
+        zt = jnp.zeros_like(tail[..., 0, :])
+        tail4 = jnp.stack([tail[..., 0, :], zt, tail[..., 1, :], zt], -2)
+        out = jnp.concatenate([out, tail4], -1)
+    return out
+
+
+def alamouti_decode_4tx(y, h, noise_var=0.0):
+    """SFBC-FSTD combine: y [..., n], h [..., 4 ports, n] -> (x, gain).
+
+    Each RE pair is a standard Alamouti decode against the port pair that
+    was active there ((0,2) then (1,3) alternating); gain is the per-RE
+    diversity channel power for LLR weighting (predecoding_diversity).
+    """
+    n = y.shape[-1]
+    m = n - n % 4
+    yq = y[..., :m].reshape(y.shape[:-1] + (m // 4, 2, 2))
+    hq = h[..., :m].reshape(h.shape[:-1] + (m // 4, 2, 2))
+    # first RE pair uses ports (0, 2); second uses (1, 3)
+    ya = yq[..., 0, :].reshape(y.shape[:-1] + (m // 2,))
+    yb = yq[..., 1, :].reshape(y.shape[:-1] + (m // 2,))
+    ha0 = hq[..., 0, :, 0, :].reshape(ya.shape)
+    ha2 = hq[..., 2, :, 0, :].reshape(ya.shape)
+    hb1 = hq[..., 1, :, 1, :].reshape(ya.shape)
+    hb3 = hq[..., 3, :, 1, :].reshape(ya.shape)
+    xa = alamouti_decode_2tx(ya, ha0, ha2, noise_var)
+    xb = alamouti_decode_2tx(yb, hb1, hb3, noise_var)
+    ga = (jnp.abs(ha0) ** 2 + jnp.abs(ha2) ** 2) / 2
+    gb = (jnp.abs(hb1) ** 2 + jnp.abs(hb3) ** 2) / 2
+    xq = jnp.stack([xa.reshape(ya.shape[:-1] + (m // 4, 2)),
+                    xb.reshape(ya.shape[:-1] + (m // 4, 2))], -2)
+    gq = jnp.stack([jnp.repeat(ga.reshape(ya.shape[:-1] + (m // 4, 2))
+                               .mean(-1, keepdims=True), 2, -1),
+                    jnp.repeat(gb.reshape(ya.shape[:-1] + (m // 4, 2))
+                               .mean(-1, keepdims=True), 2, -1)], -2)
+    x = xq.reshape(y.shape[:-1] + (m,))
+    g = gq.reshape(y.shape[:-1] + (m,))
+    if n % 4:
+        xt = alamouti_decode_2tx(y[..., m:], h[..., 0, m:], h[..., 2, m:],
+                                 noise_var)
+        gt = (jnp.abs(h[..., 0, m:]) ** 2 + jnp.abs(h[..., 2, m:]) ** 2) / 2
+        x = jnp.concatenate([x, xt], -1)
+        g = jnp.concatenate([g, gt], -1)
+    return x, g

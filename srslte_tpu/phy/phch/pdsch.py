@@ -23,7 +23,8 @@ from ..chest.refsignal_dl import crs_mask
 from ..common.params import Cell
 from ..common.scrambling import pdsch_cinit, scramble_bits, scramble_llr
 from ..mimo import alamouti_decode_2tx, alamouti_encode_2tx, equalize_zf
-from ..mimo.mimo import mmse_sm_2layer, precode_sm_2layer
+from ..mimo.mimo import (alamouti_decode_4tx, alamouti_encode_4tx,
+                         mmse_sm_2layer, precode_sm_2layer)
 from ..modem.modem import demod_soft, modulate
 from .dlsch import DlschConfig, dlsch_decode, dlsch_encode
 from .ra import DlGrant
@@ -141,14 +142,16 @@ class Pdsch:
         if self.cell.nof_ports == 1:
             flat = flat.at[..., 0, :].set(
                 jnp.concatenate([flat[..., 0, :], sym], axis=-1)[..., inv])
-        elif self.cell.nof_ports == 2:
-            tx = alamouti_encode_2tx(sym)  # [..., 2, n]
-            for p in range(2):
+        elif self.cell.nof_ports in (2, 4):
+            np_ = self.cell.nof_ports
+            tx = (alamouti_encode_2tx(sym) if np_ == 2
+                  else alamouti_encode_4tx(sym))  # [..., nports, n]
+            for p in range(np_):
                 flat = flat.at[..., p, :].set(
                     jnp.concatenate([flat[..., p, :], tx[..., p, :]],
                                     axis=-1)[..., inv])
         else:
-            raise NotImplementedError("4-port PDSCH not yet implemented")
+            raise NotImplementedError
         return flat.reshape(grids.shape)
 
     # -- UE side ------------------------------------------------------------
@@ -176,6 +179,8 @@ class Pdsch:
             h0, h1 = cef[..., 0, idx], cef[..., 1, idx]
             xhat = alamouti_decode_2tx(y, h0, h1)
             gain = (jnp.abs(h0) ** 2 + jnp.abs(h1) ** 2) / 2
+        elif self.cell.nof_ports == 4:
+            xhat, gain = alamouti_decode_4tx(y, cef[..., idx])
         else:
             raise NotImplementedError
         # weight LLRs by per-RE post-equalization SNR (max-log optimal scaling)

@@ -120,3 +120,28 @@ def test_pdsch_e2e_two_port_sfbc():
     out, ok, info = ue.decode_pdsch(jnp.asarray(rx), pdsch)
     assert bool(np.asarray(ok))
     np.testing.assert_array_equal(np.asarray(out), bits)
+
+
+def test_pdsch_e2e_four_port_sfbc_fstd():
+    """TM2 transmit diversity over 4 ports (SFBC-FSTD) with distinct
+    per-port channels and noise; chest estimates all 4 CRS ports."""
+    rng = np.random.default_rng(14)
+    cell = Cell(n_prb=15, id=5, nof_ports=4)
+    grant = DlGrant.full(15, 6)
+    pdsch = Pdsch(cell, grant, sf_idx=3, rnti=0x31)
+    enb, ue = EnbDl(cell), UeDl(cell)
+
+    bits = rng.integers(0, 2, (grant.tbs,)).astype(np.uint8)
+    grids = enb.put_base(enb.empty_grids(), sf_idx=3)
+    grids = enb.put_pdsch(grids, pdsch, jnp.asarray(bits))
+    samples = np.asarray(enb.gen_signal(grids))  # [4, sf_len]
+    h = np.array([0.9 * np.exp(0.4j), 0.7 * np.exp(-0.9j),
+                  0.8 * np.exp(1.7j), 0.6 * np.exp(0.1j)], np.complex64)
+    mix = (h[:, None] * samples).sum(axis=0)
+    sigma = np.sqrt(np.mean(np.abs(mix) ** 2) / 10 ** (20 / 10) / 2)
+    mix = mix + sigma * (rng.standard_normal(mix.shape)
+                         + 1j * rng.standard_normal(mix.shape))
+    out, ok, info = ue.decode_pdsch(jnp.asarray(mix.astype(np.complex64)),
+                                    pdsch)
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(out), bits)
