@@ -11,9 +11,18 @@ TPU-first: detection correlates against ALL configured roots at once (one
 [nroots, 839] multiply + batched IFFT) and scores every cyclic-shift region
 with a segment-max — no per-root/per-shift loops.  Root sequence indices are
 LOGICAL (36.211 table 5.7.2-4, shipped as prach_roots.npz — see
-tools/extract_prach_roots.py).  Current limits vs the reference: formats 0-3
-long preambles only (no format 4), unrestricted sets only (no high-speed
-restricted cyclic shifts).
+tools/extract_prach_roots.py).
+
+Restricted sets (high-speed cells, 36.211 §5.7.2 / prach.c
+srsran_prach_gen_seqs:392-425): the allowed cyclic shifts per root are the
+N_shift/d_start/N_group/N_neg algebra over d_u (the cyclic Doppler distance
+of the root), and detection additionally searches the +-d_u alias windows
+where a Doppler-shifted preamble's peak lands.  Here the whole 64-preamble
+set is one host-precomputed (root, C_v, d_u) table driving a uniform
+[64, n_windows, N_cs] lag gather — the reference loops root-by-root and
+window-by-window.  Unlike the reference (which reuses stale shift counts
+when a root admits no shifts), roots with N_shift == 0 are skipped per the
+spec.  Current limits: formats 0-3 long preambles only (no format 4).
 """
 
 from __future__ import annotations
@@ -43,8 +52,43 @@ PHI = 7  # formats 0-3
 FORMAT_CP = {0: 3168, 1: 21024, 2: 6240, 3: 21024}
 FORMAT_SEQ = {0: 24576, 1: 24576, 2: 2 * 24576, 3: 2 * 24576}
 
-# N_cs unrestricted sets, formats 0-3 (36.211 table 5.7.2-2)
+# N_cs sets, formats 0-3 (36.211 table 5.7.2-2; prach_tables.h)
 NCS_UNRESTRICTED = (0, 13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93, 119, 167, 279, 419)
+NCS_RESTRICTED = (15, 18, 22, 26, 32, 38, 46, 55, 68, 82, 100, 128, 158, 202, 237)
+
+
+@functools.lru_cache(maxsize=None)
+def d_u(u: int) -> int:
+    """Cyclic Doppler distance of root u: p with (p*u) mod NZC = 1, folded."""
+    p = pow(u, -1, NZC)
+    return p if p < NZC // 2 else NZC - p
+
+
+def restricted_shifts(u: int, n_cs: int) -> list[int]:
+    """Allowed C_v values for root u in a restricted (type A) set.
+
+    36.211 §5.7.2 N_shift/d_start/N_group/N_neg algebra
+    (srsran_prach_gen_seqs high-speed branch).  Empty if the root admits
+    no shifts.
+    """
+    du = d_u(u)
+    if n_cs <= du < NZC // 3:
+        n_shift = du // n_cs
+        d_start = 2 * du + n_shift * n_cs
+        n_group = NZC // d_start
+        n_neg = max((NZC - 2 * du - n_group * d_start) // n_cs, 0)
+    elif NZC // 3 <= du <= (NZC - n_cs) // 2:
+        n_shift = (NZC - 2 * du) // n_cs
+        d_start = NZC - 2 * du + n_shift * n_cs
+        n_group = du // d_start
+        n_neg = min(max((du - n_group * d_start) // n_cs, 0), n_shift)
+    else:
+        return []
+    if n_shift == 0:
+        return []
+    n_v = n_shift * n_group + n_neg
+    return [d_start * (v // n_shift) + (v % n_shift) * n_cs
+            for v in range(n_v)]
 
 
 @dataclass(frozen=True)
@@ -54,26 +98,50 @@ class PrachConfig:
     zero_corr_cfg: int = 4  # index into the N_cs table
     freq_offset_prb: int = 0  # n_PRB_RA offset from the band edge
     fmt: int = 0
+    high_speed: bool = False  # restricted set type A
 
     @property
     def n_cs(self) -> int:
+        if self.high_speed:
+            return NCS_RESTRICTED[self.zero_corr_cfg]
         return NCS_UNRESTRICTED[self.zero_corr_cfg]
 
     @property
     def shifts_per_root(self) -> int:
         return NZC // self.n_cs if self.n_cs else 1
 
-    @property
-    def n_roots(self) -> int:
-        return -(-64 // self.shifts_per_root)
+    @functools.cached_property
+    def preamble_table(self) -> tuple[tuple[int, int], ...]:
+        """64 preambles as (physical root u, cyclic shift C_v), walking
+        consecutive logical indices from root_seq_idx (prach.c:380)."""
+        tab = logical_roots()
+        out: list[tuple[int, int]] = []
+        i = 0
+        while len(out) < 64:
+            u = int(tab[(self.root_seq_idx + i) % 838])
+            i += 1
+            if self.high_speed:
+                cvs = restricted_shifts(u, self.n_cs)
+            else:
+                cvs = [v * self.n_cs for v in range(self.shifts_per_root)]
+            for cv in cvs:
+                out.append((u, cv))
+                if len(out) == 64:
+                    break
+        return tuple(out)
 
     @functools.cached_property
     def roots(self) -> tuple[int, ...]:
-        """Physical roots: consecutive LOGICAL indices from root_seq_idx
-        mapped through table 5.7.2-4 (prach.c:380 semantics)."""
-        tab = logical_roots()
-        return tuple(int(tab[(self.root_seq_idx + i) % 838])
-                     for i in range(self.n_roots))
+        """Distinct physical roots used by the 64 preambles, in order."""
+        seen: list[int] = []
+        for u, _ in self.preamble_table:
+            if u not in seen:
+                seen.append(u)
+        return tuple(seen)
+
+    @property
+    def n_roots(self) -> int:
+        return len(self.roots)
 
     @property
     def srate(self) -> int:
@@ -105,9 +173,8 @@ class PrachConfig:
         return PHI + K * k0 + K // 2
 
     def preamble_uv(self, idx: int) -> tuple[int, int]:
-        """Preamble index (0..63) -> (root u, shift v)."""
-        s = self.shifts_per_root
-        return self.roots[idx // s], idx % s
+        """Preamble index (0..63) -> (root u, cyclic shift C_v)."""
+        return self.preamble_table[idx]
 
 
 @functools.lru_cache(maxsize=None)
@@ -117,8 +184,7 @@ def _root_dft(u: int) -> np.ndarray:
 
 def prach_gen(cfg: PrachConfig, preamble_idx: int) -> np.ndarray:
     """Time-domain preamble at the cell sample rate: [n_cp + n_seq] c64."""
-    u, v = cfg.preamble_uv(preamble_idx)
-    cv = v * cfg.n_cs
+    u, cv = cfg.preamble_uv(preamble_idx)
     x = zadoff_chu(u, NZC)
     xv = np.roll(x, -cv)
     xf = np.fft.fft(xv)
@@ -152,21 +218,30 @@ def prach_detect(cfg: PrachConfig, samples, threshold: float = 13.0):
     prod = y[..., None, :] * jnp.conj(roots)  # [..., nroots, 839]
     corr = jnp.fft.ifft(prod, axis=-1)
     p = jnp.abs(corr) ** 2  # [..., nroots, 839]: power vs cyclic lag
-    floor = jnp.mean(p, axis=-1, keepdims=True)
+    floor = jnp.mean(p, axis=-1)  # [..., nroots]
 
-    s = cfg.shifts_per_root
     ncs = cfg.n_cs if cfg.n_cs else NZC
-    # shift v transmitted => correlation peak at lag (NZC - Cv) mod NZC; a
-    # propagation delay of d samples moves it forward by d*NZC/n_fft, so the
-    # region for v is [(NZC - Cv) .. (NZC - Cv) + ncs) mod NZC
-    lag = (NZC - np.arange(s)[:, None] * ncs + np.arange(ncs)[None, :]) % NZC
-    region = p[..., jnp.asarray(lag)]  # [..., nroots, s, ncs]
-    peak = jnp.max(region, axis=-1)
-    arg = jnp.argmax(region, axis=-1)
-    metric = peak / jnp.maximum(floor, 1e-12)[..., 0][..., None]
+    # shift C_v transmitted => correlation peak at lag (NZC - Cv) mod NZC;
+    # a propagation delay of d samples moves it forward by d*NZC/n_fft, so
+    # the window for C_v is [(NZC - Cv) .. (NZC - Cv) + ncs) mod NZC.
+    # Restricted sets: a Doppler-shifted preamble aliases to C_v -+ d_u, so
+    # those windows are searched too (prach.c searches per-window the same
+    # regions the gen placed them in).
+    rix = {u: i for i, u in enumerate(cfg.roots)}
+    root_idx = np.array([rix[u] for u, _ in cfg.preamble_table])  # [64]
+    offs = np.array([[0, d_u(u), NZC - d_u(u)] for u, _ in
+                     cfg.preamble_table]) if cfg.high_speed else \
+        np.zeros((64, 1), np.int64)  # [64, W]
+    cvs = np.array([cv for _, cv in cfg.preamble_table])  # [64]
+    lag = (NZC - cvs[:, None, None] + offs[:, :, None]
+           + np.arange(ncs)[None, None, :]) % NZC  # [64, W, ncs]
+    flat_idx = root_idx[:, None, None] * NZC + lag
+    pf = p.reshape(p.shape[:-2] + (-1,))  # [..., nroots*839]
+    region = pf[..., jnp.asarray(flat_idx)]  # [..., 64, W, ncs]
+    peak = jnp.max(region, axis=(-1, -2))
+    metric = peak / jnp.maximum(floor[..., jnp.asarray(root_idx)], 1e-12)
     det = metric > threshold
-    # timing: lag offset within the region -> samples at cell rate
+    # timing from the MAIN (non-aliased) window
+    arg = jnp.argmax(region[..., 0, :], axis=-1)
     t_off = (arg * cfg.n_fft / NZC).astype(jnp.int32)
-
-    flat = lambda a: a.reshape(a.shape[:-2] + (-1,))[..., :64]
-    return flat(det), flat(metric), flat(t_off)
+    return det, metric, t_off

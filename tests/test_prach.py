@@ -74,3 +74,57 @@ def test_logical_root_table():
     assert list(tab[:4]) == [129, 710, 140, 699]
     cfg = PrachConfig(OfdmParams(6), root_seq_idx=0, zero_corr_cfg=7)
     assert cfg.roots[0] == 129
+
+
+def test_prach_restricted_shift_algebra():
+    """Restricted-set shift counts follow the 36.211 §5.7.2 algebra."""
+    from srslte_tpu.phy.phch.prach import NZC, d_u, restricted_shifts
+
+    # d_u is the folded modular inverse
+    for u in (1, 129, 710, 837):
+        p = pow(u, -1, NZC)
+        assert d_u(u) == (p if p < NZC // 2 else NZC - p)
+    # all shifts are distinct, within [0, NZC), and spaced >= n_cs apart
+    # in their group structure
+    for u in (129, 140, 201, 400):
+        cvs = restricted_shifts(u, 22)
+        assert len(cvs) == len(set(cvs))
+        assert all(0 <= c < NZC for c in cvs)
+
+
+def test_prach_restricted_detects_all_preambles():
+    """High-speed config: every preamble round-trips through gen+detect."""
+    p = OfdmParams(25)
+    cfg = PrachConfig(p, root_seq_idx=22, zero_corr_cfg=4, high_speed=True)
+    assert len(cfg.preamble_table) == 64
+    for idx in (0, 17, 40, 63):
+        s = prach_gen(cfg, idx)
+        det, metric, toff = prach_detect(cfg, jnp.asarray(s))
+        det = np.asarray(det)
+        assert det[idx], np.asarray(metric)[idx]
+        assert int(np.asarray(toff)[idx]) == 0
+
+
+def test_prach_restricted_doppler_alias_detected():
+    """A one-subcarrier Doppler shift moves the peak to the +-d_u alias
+    window: restricted detection must still fire, unrestricted would not
+    find it in the main window."""
+    p = OfdmParams(25)
+    cfg = PrachConfig(p, root_seq_idx=22, zero_corr_cfg=4, high_speed=True)
+    idx = 5
+    s = prach_gen(cfg, idx)
+    # apply +1.25 kHz (one RA subcarrier) Doppler
+    t = np.arange(len(s)) / cfg.srate
+    s_dopp = (np.asarray(s) * np.exp(2j * np.pi * 1250 * t)).astype(np.complex64)
+    det, metric, _ = prach_detect(cfg, jnp.asarray(s_dopp))
+    assert np.asarray(det)[idx]
+
+
+def test_prach_restricted_noise_no_false_alarm():
+    rng = np.random.default_rng(3)
+    p = OfdmParams(25)
+    cfg = PrachConfig(p, root_seq_idx=22, zero_corr_cfg=4, high_speed=True)
+    x = 0.1 * (rng.standard_normal(cfg.n_total)
+               + 1j * rng.standard_normal(cfg.n_total)).astype(np.complex64)
+    det, _, _ = prach_detect(cfg, jnp.asarray(x))
+    assert not np.asarray(det).any()
