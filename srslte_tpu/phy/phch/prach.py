@@ -22,7 +22,13 @@ set is one host-precomputed (root, C_v, d_u) table driving a uniform
 [64, n_windows, N_cs] lag gather — the reference loops root-by-root and
 window-by-window.  Unlike the reference (which reuses stale shift counts
 when a root admits no shifts), roots with N_shift == 0 are skipped per the
-spec.  Current limits: formats 0-3 long preambles only (no format 4).
+spec.
+
+Format 4 (TDD UpPTS short preamble): N_zc = 139, 7.5 kHz RA spacing,
+phi = 2, its own N_cs table (5.7.2-3) and logical root order (5.7.2-5,
+prach_tables.h prach_zc_roots_format4) — same generation/detection code
+path, different constants.  (The reference reuses phi = 7 for format 4;
+here the spec value 2 is used — self-consistent between gen and detect.)
 """
 
 from __future__ import annotations
@@ -39,22 +45,24 @@ from ..common.zc import zadoff_chu
 _ROOTS_NPZ = os.path.join(os.path.dirname(__file__), "prach_roots.npz")
 
 
-@functools.lru_cache(maxsize=1)
-def logical_roots() -> np.ndarray:
-    """36.211 table 5.7.2-4: logical index -> physical root u (838 entries)."""
-    return np.load(_ROOTS_NPZ)["long"].astype(np.int64)
+@functools.lru_cache(maxsize=2)
+def logical_roots(short: bool = False) -> np.ndarray:
+    """36.211 tables 5.7.2-4/-5: logical index -> physical root u."""
+    return np.load(_ROOTS_NPZ)["short" if short else "long"].astype(np.int64)
 
-NZC = 839
-DELTA_F_RA = 1250  # Hz
-K = 12  # 15000 / 1250
-PHI = 7  # formats 0-3
+NZC = 839  # formats 0-3
+NZC_SHORT = 139  # format 4
+DELTA_F_RA = 1250  # Hz, formats 0-3
+DELTA_F_RA_4 = 7500  # Hz, format 4
+PHI = 7  # formats 0-3 (36.211 §5.7.3; format 4 uses phi = 2)
 # T_cp and T_seq in units of Ts = 1/30.72e6 (36.211 table 5.7.1-1)
-FORMAT_CP = {0: 3168, 1: 21024, 2: 6240, 3: 21024}
-FORMAT_SEQ = {0: 24576, 1: 24576, 2: 2 * 24576, 3: 2 * 24576}
+FORMAT_CP = {0: 3168, 1: 21024, 2: 6240, 3: 21024, 4: 448}
+FORMAT_SEQ = {0: 24576, 1: 24576, 2: 2 * 24576, 3: 2 * 24576, 4: 4096}
 
-# N_cs sets, formats 0-3 (36.211 table 5.7.2-2; prach_tables.h)
+# N_cs sets (36.211 tables 5.7.2-2/-3; prach_tables.h)
 NCS_UNRESTRICTED = (0, 13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93, 119, 167, 279, 419)
 NCS_RESTRICTED = (15, 18, 22, 26, 32, 38, 46, 55, 68, 82, 100, 128, 158, 202, 237)
+NCS_FORMAT4 = (2, 4, 6, 8, 10, 12, 15)
 
 
 @functools.lru_cache(maxsize=None)
@@ -100,25 +108,47 @@ class PrachConfig:
     fmt: int = 0
     high_speed: bool = False  # restricted set type A
 
+    def __post_init__(self):
+        if self.fmt == 4 and self.high_speed:
+            raise ValueError("format 4 has no restricted sets (36.211)")
+
+    @property
+    def nzc(self) -> int:
+        return NZC_SHORT if self.fmt == 4 else NZC
+
+    @property
+    def delta_f_ra(self) -> int:
+        return DELTA_F_RA_4 if self.fmt == 4 else DELTA_F_RA
+
+    @property
+    def k(self) -> int:
+        return 15000 // self.delta_f_ra
+
+    @property
+    def phi(self) -> int:
+        return 2 if self.fmt == 4 else PHI
+
     @property
     def n_cs(self) -> int:
+        if self.fmt == 4:
+            return NCS_FORMAT4[self.zero_corr_cfg]
         if self.high_speed:
             return NCS_RESTRICTED[self.zero_corr_cfg]
         return NCS_UNRESTRICTED[self.zero_corr_cfg]
 
     @property
     def shifts_per_root(self) -> int:
-        return NZC // self.n_cs if self.n_cs else 1
+        return self.nzc // self.n_cs if self.n_cs else 1
 
     @functools.cached_property
     def preamble_table(self) -> tuple[tuple[int, int], ...]:
         """64 preambles as (physical root u, cyclic shift C_v), walking
         consecutive logical indices from root_seq_idx (prach.c:380)."""
-        tab = logical_roots()
+        tab = logical_roots(short=self.fmt == 4)
         out: list[tuple[int, int]] = []
         i = 0
         while len(out) < 64:
-            u = int(tab[(self.root_seq_idx + i) % 838])
+            u = int(tab[(self.root_seq_idx + i) % len(tab)])
             i += 1
             if self.high_speed:
                 cvs = restricted_shifts(u, self.n_cs)
@@ -149,7 +179,7 @@ class PrachConfig:
 
     @property
     def n_fft(self) -> int:
-        return self.srate // DELTA_F_RA  # IFFT covering one 0.8 ms sequence
+        return self.srate // self.delta_f_ra  # IFFT covering one sequence
 
     @property
     def n_cp(self) -> int:
@@ -165,12 +195,12 @@ class PrachConfig:
 
     @functools.cached_property
     def first_bin(self) -> int:
-        """First occupied 1.25 kHz bin relative to the UL carrier DC.
+        """First occupied RA-spacing bin relative to the UL carrier DC.
 
         36.211 §5.7.3: k0 = n_PRB_RA*12 - N_RB_UL*6; bin = phi + K*k0 + K/2.
         """
         k0 = self.freq_offset_prb * 12 - self.params.n_prb * 6
-        return PHI + K * k0 + K // 2
+        return self.phi + self.k * k0 + self.k // 2
 
     def preamble_uv(self, idx: int) -> tuple[int, int]:
         """Preamble index (0..63) -> (root u, cyclic shift C_v)."""
@@ -178,20 +208,20 @@ class PrachConfig:
 
 
 @functools.lru_cache(maxsize=None)
-def _root_dft(u: int) -> np.ndarray:
-    return np.fft.fft(zadoff_chu(u, NZC)).astype(np.complex64)
+def _root_dft(u: int, nzc: int = NZC) -> np.ndarray:
+    return np.fft.fft(zadoff_chu(u, nzc)).astype(np.complex64)
 
 
 def prach_gen(cfg: PrachConfig, preamble_idx: int) -> np.ndarray:
     """Time-domain preamble at the cell sample rate: [n_cp + n_seq] c64."""
     u, cv = cfg.preamble_uv(preamble_idx)
-    x = zadoff_chu(u, NZC)
+    x = zadoff_chu(u, cfg.nzc)
     xv = np.roll(x, -cv)
     xf = np.fft.fft(xv)
     bins = np.zeros(cfg.n_fft, np.complex64)
-    bins[(cfg.first_bin + np.arange(NZC)) % cfg.n_fft] = xf
+    bins[(cfg.first_bin + np.arange(cfg.nzc)) % cfg.n_fft] = xf
     seq = np.fft.ifft(bins).astype(np.complex64)
-    rep = 2 if cfg.fmt >= 2 else 1
+    rep = 2 if cfg.fmt in (2, 3) else 1
     seq_full = np.tile(seq, rep)[: cfg.n_seq]
     out = np.concatenate([seq_full[-cfg.n_cp :], seq_full])
     return (out / np.sqrt(np.mean(np.abs(out) ** 2))).astype(np.complex64)
@@ -210,17 +240,18 @@ def prach_detect(cfg: PrachConfig, samples, threshold: float = 13.0):
     import jax.numpy as jnp
 
     n = cfg.n_fft
+    nzc = cfg.nzc
     seq = samples[..., cfg.n_cp : cfg.n_cp + n]  # one sequence period
     bins = jnp.fft.fft(seq, axis=-1)
-    occ = (cfg.first_bin + np.arange(NZC)) % n
-    y = bins[..., jnp.asarray(occ)]  # [..., 839]
-    roots = jnp.asarray(np.stack([_root_dft(u) for u in cfg.roots]))
+    occ = (cfg.first_bin + np.arange(nzc)) % n
+    y = bins[..., jnp.asarray(occ)]  # [..., nzc]
+    roots = jnp.asarray(np.stack([_root_dft(u, nzc) for u in cfg.roots]))
     prod = y[..., None, :] * jnp.conj(roots)  # [..., nroots, 839]
     corr = jnp.fft.ifft(prod, axis=-1)
-    p = jnp.abs(corr) ** 2  # [..., nroots, 839]: power vs cyclic lag
+    p = jnp.abs(corr) ** 2  # [..., nroots, nzc]: power vs cyclic lag
     floor = jnp.mean(p, axis=-1)  # [..., nroots]
 
-    ncs = cfg.n_cs if cfg.n_cs else NZC
+    ncs = cfg.n_cs if cfg.n_cs else nzc
     # shift C_v transmitted => correlation peak at lag (NZC - Cv) mod NZC;
     # a propagation delay of d samples moves it forward by d*NZC/n_fft, so
     # the window for C_v is [(NZC - Cv) .. (NZC - Cv) + ncs) mod NZC.
@@ -229,13 +260,13 @@ def prach_detect(cfg: PrachConfig, samples, threshold: float = 13.0):
     # regions the gen placed them in).
     rix = {u: i for i, u in enumerate(cfg.roots)}
     root_idx = np.array([rix[u] for u, _ in cfg.preamble_table])  # [64]
-    offs = np.array([[0, d_u(u), NZC - d_u(u)] for u, _ in
+    offs = np.array([[0, d_u(u), nzc - d_u(u)] for u, _ in
                      cfg.preamble_table]) if cfg.high_speed else \
         np.zeros((64, 1), np.int64)  # [64, W]
     cvs = np.array([cv for _, cv in cfg.preamble_table])  # [64]
-    lag = (NZC - cvs[:, None, None] + offs[:, :, None]
-           + np.arange(ncs)[None, None, :]) % NZC  # [64, W, ncs]
-    flat_idx = root_idx[:, None, None] * NZC + lag
+    lag = (nzc - cvs[:, None, None] + offs[:, :, None]
+           + np.arange(ncs)[None, None, :]) % nzc  # [64, W, ncs]
+    flat_idx = root_idx[:, None, None] * nzc + lag
     pf = p.reshape(p.shape[:-2] + (-1,))  # [..., nroots*839]
     region = pf[..., jnp.asarray(flat_idx)]  # [..., 64, W, ncs]
     peak = jnp.max(region, axis=(-1, -2))
@@ -243,5 +274,5 @@ def prach_detect(cfg: PrachConfig, samples, threshold: float = 13.0):
     det = metric > threshold
     # timing from the MAIN (non-aliased) window
     arg = jnp.argmax(region[..., 0, :], axis=-1)
-    t_off = (arg * cfg.n_fft / NZC).astype(jnp.int32)
+    t_off = (arg * cfg.n_fft / nzc).astype(jnp.int32)
     return det, metric, t_off

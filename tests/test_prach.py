@@ -128,3 +128,36 @@ def test_prach_restricted_noise_no_false_alarm():
                + 1j * rng.standard_normal(cfg.n_total)).astype(np.complex64)
     det, _, _ = prach_detect(cfg, jnp.asarray(x))
     assert not np.asarray(det).any()
+
+
+def test_prach_format4_roundtrip():
+    """Short UpPTS preamble (N_zc=139, 7.5 kHz): gen + detect + timing."""
+    p = OfdmParams(25)
+    cfg = PrachConfig(p, root_seq_idx=3, zero_corr_cfg=2, fmt=4)
+    assert cfg.nzc == 139 and cfg.n_seq == 4096 * p.srate // 30_720_000
+    for idx in (0, 13, 63):
+        s = prach_gen(cfg, idx)
+        assert len(s) == cfg.n_total
+        det, metric, toff = prach_detect(cfg, jnp.asarray(s))
+        det = np.asarray(det)
+        assert det[idx]
+        assert int(np.asarray(toff)[idx]) == 0
+        # no other preamble of a different root/shift fires
+        others = np.flatnonzero(det)
+        assert all(cfg.preamble_table[int(o)] == cfg.preamble_table[idx]
+                   for o in others)
+
+
+def test_prach_format4_delay_and_noise():
+    rng = np.random.default_rng(8)
+    p = OfdmParams(50)
+    cfg = PrachConfig(p, root_seq_idx=70, zero_corr_cfg=4, fmt=4)
+    delay = 9
+    s = np.asarray(prach_gen(cfg, 31))
+    x = np.concatenate([np.zeros(delay, np.complex64), s])[: cfg.n_total]
+    x = x + 0.05 * (rng.standard_normal(len(x))
+                    + 1j * rng.standard_normal(len(x))).astype(np.complex64)
+    det, metric, toff = prach_detect(cfg, jnp.asarray(x.astype(np.complex64)))
+    assert np.asarray(det)[31]
+    # timing resolution is one correlation lag = n_fft/139 samples
+    assert abs(int(np.asarray(toff)[31]) - delay) <= cfg.n_fft // cfg.nzc + 1
