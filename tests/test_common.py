@@ -132,3 +132,23 @@ def test_zadoff_chu_autocorrelation():
     for lag in (1, 5, 20):
         r = abs(np.vdot(s, np.roll(s, lag))) / 63
         assert r < 1e-5
+
+
+def test_tdd_frame_structure():
+    """36.211 tables 4.2-1/4.2-2 lookups + DwPTS slot split."""
+    from srslte_tpu.phy.common.params import CP
+    from srslte_tpu.phy.common.tdd import SfType, TddConfig
+
+    c1 = TddConfig(sf_config=1, ss_config=7)
+    assert [c1.sf_type(i).value for i in range(10)] == list("DSUUDDSUUD")
+    assert (c1.nof_dw, c1.nof_gp, c1.nof_up) == (10, 2, 2)
+    assert c1.nof_dw_slot(0) == 7 and c1.nof_dw_slot(1) == 3
+    assert c1.nof_harq == 4
+    assert c1.ul_subframes() == (2, 3, 7, 8)
+    assert 1 in c1.dl_subframes()  # DwPTS=10 >= 9 carries PDSCH
+
+    c5 = TddConfig(sf_config=5, ss_config=0)
+    assert c5.ul_subframes() == (2,)
+    assert c5.nof_dw_slot(0, CP.NORM) == 3 and c5.nof_dw_slot(1) == 0
+    assert 1 not in c5.dl_subframes()  # DwPTS=3: no PDSCH
+    assert TddConfig(sf_config=0, ss_config=9).nof_up == 2
