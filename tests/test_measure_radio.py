@@ -66,23 +66,26 @@ def test_file_radio_roundtrip(tmp_path):
 def test_pipe_radio_loopback_with_resampling():
     import os
 
-    # unique port per xdist worker (parallel runs share the loopback)
-    port = 47001 + int(os.environ.get("PYTEST_XDIST_WORKER", "gw0")[2:] or 0)
-    rxr = PipeRadio(rx_port=port, tx_port=port, base_srate=23_040_000,
-                    cell_srate=1_920_000)
     rng = np.random.default_rng(3)
     # bandlimited cell-rate signal
     n = 1920
     xf = np.zeros(n, np.complex64)
     xf[:100] = rng.standard_normal(100) + 1j * rng.standard_normal(100)
     x = np.fft.ifft(xf).astype(np.complex64)
-    # UDP on a loaded host can drop: retry the loopback a few times
-    for attempt in range(3):
+    # UDP on a loaded host can drop/delay: each retry uses a FRESH socket on
+    # a fresh port so stale datagrams from a failed attempt can't leak in
+    # (ports also spread per xdist worker)
+    base = 47001 + 16 * int(os.environ.get("PYTEST_XDIST_WORKER",
+                                           "gw0")[2:] or 0)
+    for attempt in range(4):
+        port = base + attempt
+        rxr = PipeRadio(rx_port=port, tx_port=port, base_srate=23_040_000,
+                        cell_srate=1_920_000)
         rxr.tx(x)  # upsamples 12x and sends to its own rx port
         y, ts = rxr.rx_now(n)  # downsamples back
+        rxr.close()
         if len(y) == n and np.allclose(y, x, atol=2e-3):
             break
-    rxr.close()
     assert len(y) == n
     np.testing.assert_allclose(y, x, atol=2e-3)
 
