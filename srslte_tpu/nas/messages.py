@@ -19,9 +19,14 @@ SEC_INTEGRITY = 0x1
 SEC_INTEGRITY_CIPHERED = 0x2
 SEC_INTEGRITY_NEW_CTX = 0x3
 
+SEC_SERVICE_REQUEST = 0xC  # 24.301 §9.3.1: security header type 1100
+
 MT_ATTACH_REQUEST = 0x41
 MT_ATTACH_ACCEPT = 0x42
 MT_ATTACH_COMPLETE = 0x43
+MT_TAU_REQUEST = 0x48
+MT_TAU_ACCEPT = 0x49
+MT_TAU_COMPLETE = 0x4A
 MT_AUTH_REQUEST = 0x52
 MT_AUTH_RESPONSE = 0x53
 MT_SECURITY_MODE_COMMAND = 0x5D
@@ -120,6 +125,88 @@ class AttachComplete:
         return AttachComplete()
 
 
+@dataclass
+class TauRequest:
+    """TRACKING AREA UPDATE REQUEST (24.301 §8.2.29): update type + GUTI."""
+
+    update_type: int  # 0 = TA updating, 1 = combined, 2 = periodic
+    guti: int
+
+    def pack_body(self) -> bytes:
+        return (bytes([PD_EMM, MT_TAU_REQUEST, self.update_type & 0x0F])
+                + struct.pack("!I", self.guti))
+
+    @staticmethod
+    def unpack_body(b: bytes) -> "TauRequest":
+        return TauRequest(update_type=b[2] & 0x0F,
+                          guti=struct.unpack("!I", b[3:7])[0])
+
+
+@dataclass
+class TauAccept:
+    """TRACKING AREA UPDATE ACCEPT: result + (optionally re-assigned) GUTI."""
+
+    update_result: int = 0
+    guti: int = 0  # 0 = GUTI unchanged
+    tac: int = 0
+
+    def pack_body(self) -> bytes:
+        return (bytes([PD_EMM, MT_TAU_ACCEPT, self.update_result & 0x0F])
+                + struct.pack("!IH", self.guti, self.tac))
+
+    @staticmethod
+    def unpack_body(b: bytes) -> "TauAccept":
+        guti, tac = struct.unpack("!IH", b[3:9])
+        return TauAccept(update_result=b[2] & 0x0F, guti=guti, tac=tac)
+
+
+@dataclass
+class TauComplete:
+    def pack_body(self) -> bytes:
+        return bytes([PD_EMM, MT_TAU_COMPLETE])
+
+    @staticmethod
+    def unpack_body(b: bytes) -> "TauComplete":
+        return TauComplete()
+
+
+@dataclass
+class ServiceRequest:
+    """SERVICE REQUEST (24.301 §8.2.25): the 4-byte short format.
+
+    [ SHT=1100 | PD ] [ KSI(3) | seq(5) ] [ short MAC (2 bytes) ] — the
+    short MAC is the low half of the EIA MAC over the first two bytes
+    (liblte_mme.cc pack_service_request semantics).
+    """
+
+    ksi: int = 0
+    seq: int = 0
+
+    def pack(self, sec_ctx) -> bytes:
+        from ..security import integrity_mac
+
+        self.seq = sec_ctx.tx_count & 0x1F
+        head = bytes([(SEC_SERVICE_REQUEST << 4) | PD_EMM,
+                      ((self.ksi & 0x7) << 5) | self.seq])
+        mac = integrity_mac(sec_ctx.ia, sec_ctx.k_int, sec_ctx.tx_count, 0,
+                            sec_ctx.direction, head)
+        sec_ctx.tx_count += 1
+        return head + mac[2:4]
+
+    @staticmethod
+    def unpack(raw: bytes, sec_ctx) -> "ServiceRequest":
+        from ..security import integrity_mac
+
+        ksi, seq = raw[1] >> 5, raw[1] & 0x1F
+        count = (sec_ctx.rx_count & ~0x1F) | seq
+        calc = integrity_mac(sec_ctx.ia, sec_ctx.k_int, count, 0,
+                             1 - sec_ctx.direction, raw[:2])
+        if calc[2:4] != raw[2:4]:
+            raise ValueError("service request short-MAC check failed")
+        sec_ctx.rx_count = count + 1
+        return ServiceRequest(ksi=ksi, seq=seq)
+
+
 _BY_TYPE = {
     MT_ATTACH_REQUEST: AttachRequest,
     MT_ATTACH_ACCEPT: AttachAccept,
@@ -128,6 +215,9 @@ _BY_TYPE = {
     MT_AUTH_RESPONSE: AuthResponse,
     MT_SECURITY_MODE_COMMAND: SecurityModeCommand,
     MT_SECURITY_MODE_COMPLETE: SecurityModeComplete,
+    MT_TAU_REQUEST: TauRequest,
+    MT_TAU_ACCEPT: TauAccept,
+    MT_TAU_COMPLETE: TauComplete,
 }
 
 
@@ -155,6 +245,8 @@ def nas_unpack(raw: bytes, sec_ctx=None):
     sht = raw[0] >> 4
     if sht == SEC_PLAIN:
         return _BY_TYPE[raw[1]].unpack_body(raw), False
+    if sht == SEC_SERVICE_REQUEST:
+        return ServiceRequest.unpack(raw, sec_ctx), True
     from ..security import cipher_decrypt, integrity_mac
 
     assert sec_ctx is not None, "protected NAS message without context"

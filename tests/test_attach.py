@@ -114,3 +114,46 @@ def test_user_plane_over_pdcp_rlc():
         gpdu = gtpu_pack(GtpuHeader(teid=ue.teid_ul), ip_pkt)
         received.append(spgw.rx_s1u(gpdu)[1])
     assert received == packets
+
+
+def test_nas_service_request_short_mac():
+    """4-byte SERVICE REQUEST round-trips and rejects a tampered short MAC."""
+    from srslte_tpu.nas.messages import (NasSecurityContext, ServiceRequest,
+                                         nas_unpack)
+
+    k = bytes(range(16))
+    ue = NasSecurityContext(k_enc=k, k_int=k, ea=1, ia=1, direction=0,
+                            tx_count=5)
+    mme = NasSecurityContext(k_enc=k, k_int=k, ea=1, ia=1, direction=1,
+                             rx_count=5)
+    raw = ServiceRequest(ksi=3).pack(ue)
+    assert len(raw) == 4
+    msg, protected = nas_unpack(raw, mme)
+    assert protected and isinstance(msg, ServiceRequest) and msg.ksi == 3
+    assert mme.rx_count == 6
+    bad = raw[:3] + bytes([raw[3] ^ 0xFF])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        nas_unpack(bad, NasSecurityContext(k_enc=k, k_int=k, ea=1, ia=1,
+                                           direction=1, rx_count=5))
+
+
+def test_nas_tau_flow_protected():
+    """TAU request/accept/complete through a ciphered+integrity context."""
+    from srslte_tpu.nas.messages import (NasSecurityContext, TauAccept,
+                                         TauComplete, TauRequest, nas_pack,
+                                         nas_unpack)
+
+    k = bytes(range(16, 32))
+    ue = NasSecurityContext(k_enc=k, k_int=k, ea=2, ia=2, direction=0)
+    mme = NasSecurityContext(k_enc=k, k_int=k, ea=2, ia=2, direction=1)
+    raw = nas_pack(TauRequest(update_type=2, guti=0xCAFE01), sec_ctx=ue)
+    msg, prot = nas_unpack(raw, mme)
+    assert prot and isinstance(msg, TauRequest)
+    assert msg.update_type == 2 and msg.guti == 0xCAFE01
+    raw = nas_pack(TauAccept(update_result=0, guti=0xBEEF02, tac=0x1234),
+                   sec_ctx=mme)
+    acc, _ = nas_unpack(raw, ue)
+    assert acc.guti == 0xBEEF02 and acc.tac == 0x1234
+    raw = nas_pack(TauComplete(), sec_ctx=ue)
+    assert isinstance(nas_unpack(raw, mme)[0], TauComplete)
