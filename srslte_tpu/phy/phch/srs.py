@@ -5,11 +5,12 @@ Reference behavior: lib/src/phy/ch_estimation/refsignal_ul.c
 alpha = 2*pi*n_srs/8, transmission comb k_TC (every 2nd subcarrier), last
 SC-FDMA symbol of the subframe.
 
-Simplification vs the reference: the SRS bandwidth (m_srs PRB) and frequency
-position (k0 PRB) are given directly in the config instead of being derived
-from the C_srs/B_srs bandwidth-configuration tables (36.211 tables
-5.5.3.2-1..4) — the table derivation is config-plane sugar, the signal math
-is identical.
+The C_srs/B_srs bandwidth-configuration tables (36.211 tables 5.5.3.2-1..4,
+refsignal_ul.c m_srs_b/Nb, shipped as srs_bw.npz via
+tools/extract_srs_tables.py) derive m_srs and the frequency position k0
+from (bw_cfg, B, n_rrc) — srs_bandwidth()/srs_k0_prb() below mirror
+srsran_refsignal_srs_M_sc / srs_k0_ue for the non-frequency-hopped case
+(b_hop >= B); hopping in time (Fb) is not yet implemented.
 """
 
 from __future__ import annotations
@@ -19,8 +20,58 @@ from dataclasses import dataclass
 
 import numpy as np
 
+import os
+
 from ..chest.refsignal_ul import base_sequence
 from ..common.params import Cell
+
+_SRS_BW_NPZ = os.path.join(os.path.dirname(__file__), "srs_bw.npz")
+
+
+@functools.lru_cache(maxsize=1)
+def _bw_tables():
+    d = np.load(_SRS_BW_NPZ)
+    return d["m_srs"].astype(int), d["nb"].astype(int)
+
+
+def _bw_row(n_prb: int) -> int:
+    """Which of tables 5.5.3.2-1..4 applies (srsbwtable_idx)."""
+    if n_prb <= 40:
+        return 0
+    if n_prb <= 60:
+        return 1
+    if n_prb <= 80:
+        return 2
+    return 3
+
+
+def srs_bandwidth(n_prb: int, b_srs: int, bw_cfg: int) -> int:
+    """m_srs,b in PRB for (cell BW, B_srs, C_srs)."""
+    return int(_bw_tables()[0][_bw_row(n_prb)][b_srs][bw_cfg])
+
+
+def srs_k0_prb(n_prb: int, b_srs: int, bw_cfg: int, n_rrc: int) -> int:
+    """UE SRS starting PRB (srs_k0_ue, non-hopped: nb = 4 n_rrc/m_srs % Nb).
+
+    The cell-specific region is centered in the band
+    (srsran_refsignal_srs_rb_start_cs).
+    """
+    m_tab, nb_tab = _bw_tables()
+    row = _bw_row(n_prb)
+    k0 = n_prb // 2 - m_tab[row][0][bw_cfg] // 2
+    for b in range(b_srs + 1):
+        m_b = int(m_tab[row][b][bw_cfg])
+        nb = (4 * n_rrc // m_b) % int(nb_tab[row][b][bw_cfg])
+        k0 += m_b * nb
+    return k0
+
+
+def srs_config_from_bw(n_prb: int, bw_cfg: int, b_srs: int, n_rrc: int,
+                       comb: int = 0, n_srs_cs: int = 0) -> "SrsConfig":
+    """Build an SrsConfig from the 36.211 bandwidth-configuration plane."""
+    return SrsConfig(m_srs=srs_bandwidth(n_prb, b_srs, bw_cfg),
+                     k0_prb=srs_k0_prb(n_prb, b_srs, bw_cfg, n_rrc),
+                     comb=comb, n_srs_cs=n_srs_cs)
 
 
 @dataclass(frozen=True)

@@ -171,3 +171,35 @@ def test_pucch_format3_occ_orthogonality():
     for p, bits in users:
         out = p.decode(grid, nof_ack3_bits=6)
         assert tuple(np.asarray(out["ack"])) == bits
+
+
+def test_srs_bandwidth_tables():
+    """36.211 tables 5.5.3.2-x: spot values + structural consistency."""
+    from srslte_tpu.phy.phch.srs import (srs_bandwidth, srs_config_from_bw,
+                                         srs_k0_prb)
+
+    assert srs_bandwidth(25, 0, 0) == 36  # table -1, C_srs=0, B=0
+    assert srs_bandwidth(50, 0, 0) == 48  # table -2
+    assert srs_bandwidth(100, 0, 0) == 96  # table -4
+    assert srs_bandwidth(100, 3, 7) == 4
+    # k0 walks down the tree and stays within the cell band
+    for n_rrc in range(6):
+        k0 = srs_k0_prb(50, 2, 1, n_rrc)
+        m = srs_bandwidth(50, 2, 1)
+        assert 0 <= k0 and k0 + m <= 50
+    # different n_rrc select different sub-bands (n_rrc is in 4-PRB units:
+    # nb = floor(4*n_rrc/m_srs) mod N_b)
+    assert srs_k0_prb(50, 2, 1, 0) != srs_k0_prb(50, 2, 1, 2)
+
+
+def test_srs_config_from_bw_roundtrip():
+    """Table-derived config feeds the existing SRS gen/estimate chain."""
+    from srslte_tpu.phy.phch.srs import Srs, srs_config_from_bw
+
+    cell = Cell(n_prb=50, id=11)
+    cfg = srs_config_from_bw(50, bw_cfg=1, b_srs=1, n_rrc=3, n_srs_cs=2)
+    srs = Srs(cell, cfg)
+    grid = srs.encode(jnp.zeros((cell.ofdm.nsymb_sf, cell.ofdm.nof_re),
+                                jnp.complex64))
+    h, noise, power = srs.estimate(0.7 * grid)
+    assert np.allclose(np.asarray(h), 0.7, atol=1e-3)
