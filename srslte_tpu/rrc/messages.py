@@ -18,7 +18,7 @@ MT = {
     "DlInformationTransfer": 4, "UlInformationTransfer": 5,
     "RrcSecurityModeCommand": 6, "RrcSecurityModeComplete": 7,
     "ConnectionReconfiguration": 8, "ConnectionReconfigurationComplete": 9,
-    "Sib1": 10,
+    "Sib1": 10, "Paging": 11, "ConnectionRelease": 12,
 }
 
 
@@ -150,6 +150,47 @@ class Sib1:
     def unpack_body(b):
         tac, cid = struct.unpack("!HI", b[3:9])
         return Sib1(plmn=b[:3], tac=tac, cell_id=cid, si_periodicity=b[9])
+
+
+@dataclass
+class Paging:
+    """PCCH Paging (36.331 §6.2.2): list of S-TMSI paging records.
+
+    srsenb broadcasts this on the paging occasion derived from
+    ue_id mod 1024 (36.304 §7); the PO/PF math lives with the caller —
+    this is the message body (srsue rrc.cc handle_paging).
+    """
+
+    records: tuple = ()  # tuple of 4-byte m-tmsi ints
+
+    def pack_body(self):
+        out = bytes([len(self.records)])
+        for tmsi in self.records:
+            out += struct.pack("!I", tmsi)
+        return out
+
+    @staticmethod
+    def unpack_body(b):
+        n = b[0]
+        recs = struct.unpack(f"!{n}I", b[1 : 1 + 4 * n]) if n else ()
+        return Paging(records=tuple(recs))
+
+
+@dataclass
+class ConnectionRelease:
+    """RRCConnectionRelease (36.331 §5.3.8): cause + optional redirect."""
+
+    cause: int = 0  # 0 = other, 1 = load-balancing, 2 = rlf
+    redirect_earfcn: int = 0  # 0 = none
+
+    def pack_body(self):
+        return bytes([self.cause]) + struct.pack("!I", self.redirect_earfcn)
+
+    @staticmethod
+    def unpack_body(b):
+        return ConnectionRelease(cause=b[0],
+                                 redirect_earfcn=struct.unpack("!I",
+                                                               b[1:5])[0])
 
 
 _BY_ID = {}

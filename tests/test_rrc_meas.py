@@ -61,3 +61,16 @@ def test_a4_multiple_neighbors():
     # second neighbor rises later -> its own report
     rep2 = eng.tick(-80.0, {1: -85.0, 2: -85.0}, 10)
     assert rep2 is not None and set(rep2.triggered) == {1, 2}
+
+
+def test_rrc_paging_and_release_codec():
+    from srslte_tpu.rrc.messages import (ConnectionRelease, Paging, rrc_pack,
+                                         rrc_unpack)
+
+    p = Paging(records=(0xDEAD0001, 0xBEEF0002))
+    out = rrc_unpack(rrc_pack(p))
+    assert out.records == (0xDEAD0001, 0xBEEF0002)
+    assert rrc_unpack(rrc_pack(Paging())).records == ()
+    r = rrc_unpack(rrc_pack(ConnectionRelease(cause=2,
+                                              redirect_earfcn=3400)))
+    assert r.cause == 2 and r.redirect_earfcn == 3400
