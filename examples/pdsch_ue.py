@@ -22,6 +22,7 @@ import jax.numpy as jnp  # noqa: E402
 from srslte_tpu.phy.common.params import Cell, OfdmParams  # noqa: E402
 from srslte_tpu.phy.io import FileSource  # noqa: E402
 from srslte_tpu.phy.phch.dci import unpack_format1a  # noqa: E402
+from srslte_tpu.phy.phch.pcfich import Pcfich  # noqa: E402
 from srslte_tpu.phy.phch.pdcch import Pdcch  # noqa: E402
 from srslte_tpu.phy.phch.dci import format0_1a_size  # noqa: E402
 from srslte_tpu.phy.phch.pdsch import Pdsch  # noqa: E402
@@ -30,9 +31,6 @@ from srslte_tpu.phy.ue.ue_dl import UeDl  # noqa: E402
 from srslte_tpu.phy.ue.ue_mib import UeMib  # noqa: E402
 from srslte_tpu.phy.ue.ue_sync import UeSync  # noqa: E402
 from srslte_tpu.utils import to_device_complex  # noqa: E402
-
-CFI = 2
-
 
 def receive(samples: np.ndarray, n_prb: int, rnti: int, max_sf: int = 20):
     """Blind receive; returns a list of per-subframe result dicts."""
@@ -68,15 +66,17 @@ def receive(samples: np.ndarray, n_prb: int, rnti: int, max_sf: int = 20):
                     mib = mib_dec
                     print(f"MIB: {mib} (frame phase {phase}, {ports} port)")
             grid, ce, info = ue.fft_estimate(sf, sf_idx)
-            pd = Pdcch(cell, CFI, sf_idx)
+            cfi = int(np.asarray(Pcfich(cell, sf_idx).decode(grid, ce)[0]))
+            pd = Pdcch(cell, cfi, sf_idx)
             hits = pd.search(grid, ce, rnti, dci_size)
-            entry = {"sf_idx": sf_idx, "dci": None, "crc_ok": False}
+            entry = {"sf_idx": sf_idx, "cfi": cfi, "dci": None, "crc_ok": False}
             for loc, bits in hits:
                 dci = unpack_format1a(bits, n_prb)
                 if dci is None:
                     continue
                 entry["dci"] = dci
-                pdsch = Pdsch(cell, dci.grant(n_prb), sf_idx, cfi=CFI, rnti=rnti)
+                pdsch = Pdsch(cell, dci.grant(n_prb, rnti), sf_idx, cfi=cfi,
+                              rnti=rnti)
                 out, ok = pdsch.decode(grid, ce, info["noise"])
                 entry["crc_ok"] = bool(np.asarray(ok))
                 entry["bits"] = np.asarray(out)

@@ -17,6 +17,15 @@ import numpy as np
 
 from .ra import DlGrant, rbg_size, riv_type2, riv_type2_decode
 
+SI_RNTI = 0xFFFF
+P_RNTI = 0xFFFE
+M_RNTI = 0xFFFD
+
+
+def rnti_is_common(rnti: int) -> bool:
+    """P/SI/RA-RNTI (not a UE C-RNTI) — SRSRAN_RNTI_ISUSER inverse."""
+    return rnti in (SI_RNTI, P_RNTI) or 1 <= rnti <= 0x3C
+
 # 36.212 table 5.3.3.1.2-1: payload sizes needing one disambiguation pad bit
 AMBIGUOUS_SIZES = {12, 14, 16, 20, 24, 26, 32, 40, 44, 56}
 
@@ -70,7 +79,21 @@ class Dci1A:
     rv: int = 0
     tpc: int = 0
 
-    def grant(self, n_prb: int) -> DlGrant:
+    def grant(self, n_prb: int, rnti: int | None = None) -> DlGrant:
+        if rnti is not None and rnti_is_common(rnti):
+            # P/SI/RA-RNTI: mcs field is I_TBS directly, QPSK, and the TBS
+            # row is N_prb_1A = 2 or 3 chosen by the TPC LSB (ra_dl.c:374-385).
+            import dataclasses
+
+            from ..modem.modem import Modulation
+            from .ra import tbs_from_itbs
+
+            n_prb_1a = 3 if (self.tpc & 1) else 2
+            return dataclasses.replace(
+                DlGrant.type2(n_prb, self.rb_start, self.l_crb, self.mcs, self.rv),
+                tbs_override=tbs_from_itbs(self.mcs, n_prb_1a),
+                mod_override=Modulation.QPSK,
+            )
         return DlGrant.type2(n_prb, self.rb_start, self.l_crb, self.mcs, self.rv)
 
 

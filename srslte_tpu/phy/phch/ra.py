@@ -46,6 +46,11 @@ class DlGrant:
     prb_mask: tuple[bool, ...]  # length cell.n_prb, same for both slots
     mcs: int
     rv: int = 0
+    # For P/SI/RA-RNTI format-1A grants the TBS is looked up with
+    # N_prb_1A in {2,3} (from the TPC LSB) and modulation is QPSK,
+    # independent of the allocated PRB count (ra_dl.c:374-381).
+    tbs_override: int | None = None
+    mod_override: Modulation | None = None
 
     @property
     def n_prb(self) -> int:
@@ -53,10 +58,14 @@ class DlGrant:
 
     @property
     def modulation(self) -> Modulation:
+        if self.mod_override is not None:
+            return self.mod_override
         return dl_mcs_modulation(self.mcs)
 
     @property
     def tbs(self) -> int:
+        if self.tbs_override is not None:
+            return self.tbs_override
         return dl_tbs(self.mcs, self.n_prb)
 
     @staticmethod
