@@ -1,11 +1,22 @@
 """Headline benchmark — prints ONE JSON line.
 
-Metric: baseband Msamples/s/chip through the FULL 20 MHz DL chain:
-eNB encode (CRS + PDSCH 100 PRB 64QAM: DL-SCH turbo encode, scrambling,
-modulation, RE map, IFFT+CP) then UE decode (FFT+CP strip, CRS channel
-estimation, equalization, soft demod, descrambling, turbo decode with 5
-iterations, CRC).  BASELINE.md: the reference's real-time requirement is
-30.72 Msamples/s at 100 PRB on a multi-core CPU; vs_baseline = measured/30.72.
+Metric: baseband Msamples/s/chip through the FULL 20 MHz DL chain at an
+HONEST operating point:
+
+  eNB encode (CRS + PCFICH + PDCCH DCI-1A + PDSCH 100 PRB 64QAM: DL-SCH
+  turbo encode, scrambling, modulation, RE map, IFFT+CP)
+  -> AWGN channel at `SNR_DB` (time-domain SNR; chosen so the post-decode
+     transport-block error rate lands in the 1e-3..1e-1 regime — the turbo
+     early-exit phase genuinely fails and the full-iteration phase runs)
+  -> UE decode (FFT+CP strip, CRS channel estimation, PCFICH decode, PDCCH
+     blind search over the common+UE-specific candidate sets with CRC-RNTI
+     selection, equalization, soft demod, descrambling, turbo decode with
+     CRC-gated iteration phases, CRC).
+
+This matches the reference per-TTI worker scope (srsue cc_worker.cc:210-423:
+decode_pdcch_dl + decode_pdsch after fft_estimate) rather than a
+noiseless PDSCH-only loop.  BASELINE.md: the reference's real-time
+requirement is 30.72 Msamples/s at 100 PRB; vs_baseline = measured/30.72.
 
 Boundary discipline: the axon TPU backend cannot transfer complex64 between
 host and device, so host<->device traffic is float32/uint8; complex lives
@@ -13,6 +24,7 @@ only inside jit.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -20,47 +32,117 @@ import jax.numpy as jnp
 import numpy as np
 
 REALTIME_MSPS = 30.72  # 100 PRB real-time rate (phy_common.c:332-339)
+SNR_DB = float(os.environ.get("BENCH_SNR_DB", "16.0"))
+CFI = 2
+RNTI = 0x46
+# subframes per dispatch (amortizes the axon tunnel RTT)
+BATCH = int(os.environ.get("BENCH_BATCH", "384"))
+
+
+def build_step():
+    from srslte_tpu.phy.common.params import Cell
+    from srslte_tpu.phy.enb.enb_dl import EnbDl
+    from srslte_tpu.phy.phch.dci import Dci1A, pack_format1a, format0_1a_size
+    from srslte_tpu.phy.phch.pcfich import Pcfich
+    from srslte_tpu.phy.phch.pdcch import (Pdcch, Location, common_locations,
+                                           ue_locations, rnti_mask)
+    from srslte_tpu.phy.phch.pdsch import Pdsch
+    from srslte_tpu.phy.ue.ue_dl import UeDl
+
+    sf_idx = 4
+    cell = Cell(n_prb=100, id=1, nof_ports=1)
+    dci = Dci1A(rb_start=0, l_crb=100, mcs=27)
+    grant = dci.grant(100)
+    pdsch = Pdsch(cell, grant, sf_idx, cfi=CFI, rnti=RNTI)
+    enb = EnbDl(cell)
+    ue = UeDl(cell)
+    pd = Pdcch(cell, CFI, sf_idx)
+    dci_bits = jnp.asarray(pack_format1a(dci, 100))
+    dci_len = format0_1a_size(100)
+    tx_loc = Location(8, 8)  # inside the UE search space for RNTI 0x46 @ sf 4
+    # full blind-search candidate set: UE-specific + common (cc_worker scope)
+    locs = ue_locations(pd.n_cce, RNTI, sf_idx)
+    for l in common_locations(pd.n_cce):
+        if l not in locs:
+            locs.append(l)
+    assert tx_loc in locs
+    groups = {}
+    for l in locs:
+        groups.setdefault(l.L, []).append(l)
+    groups = {L: tuple(g) for L, g in groups.items()}
+    mask = jnp.asarray(rnti_mask(RNTI))
+    tbs = grant.tbs
+
+    def step(key, snr_lin):
+        kb, kn = jax.random.split(key)
+        # bits generated on device: host<->device traffic is one key.
+        nbytes = -(-tbs // 8)
+        words = jax.random.bits(kb, (BATCH, nbytes), jnp.uint8)
+        bits = ((words[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1)
+        bits = bits.reshape(BATCH, nbytes * 8)[:, :tbs]
+
+        # ---- eNB ----
+        g = enb.put_base(enb.empty_grids((BATCH,)), sf_idx)
+        g = enb.put_pcfich(g, sf_idx, CFI)
+        g = enb.put_pdcch(g, sf_idx, CFI, dci_bits, RNTI, tx_loc)
+        g = enb.put_pdsch(g, pdsch, bits)
+        s = enb.gen_signal(g)[..., 0, :]
+
+        # ---- AWGN ----
+        p_sig = jnp.mean(jnp.abs(s) ** 2)
+        sigma = jnp.sqrt(p_sig / snr_lin / 2.0)
+        nre, nim = jax.random.normal(kn, (2,) + s.shape, jnp.float32) * sigma
+        rx = s + jax.lax.complex(nre, nim)
+
+        # ---- UE ----
+        grid, ce, info = ue.fft_estimate(rx, sf_idx)
+        cfi_dec, _ = Pcfich(cell, sf_idx).decode(grid, ce)
+        cfi_ok = jnp.sum((cfi_dec == CFI).astype(jnp.float32))
+
+        def search_one(g1, ce1):
+            found = jnp.zeros((), jnp.bool_)
+            for L, group in groups.items():
+                ok, cand = pd._decode_candidates_traced(g1, ce1, group,
+                                                        dci_len, mask)
+                match = jnp.all(cand == dci_bits[None, :], axis=-1)
+                found = jnp.logical_or(found, jnp.any(ok & match))
+            return found
+
+        dci_ok = jnp.sum(jax.vmap(search_one)(grid, ce).astype(jnp.float32))
+
+        _, ok = pdsch.decode(grid, ce, info["noise"])
+        return (ok.sum().astype(jnp.float32), dci_ok, cfi_ok)
+
+    return cell, jax.jit(step)
 
 
 def main():
-    from srslte_tpu.parallel.pipeline import ShardedDlPipeline
-    from srslte_tpu.phy.common.params import Cell
-    from srslte_tpu.phy.phch.ra import DlGrant
-
-    cell = Cell(n_prb=100, id=1, nof_ports=1)
-    grant = DlGrant.full(100, 27)  # 64QAM, TBS 61664 -> ~75 Mb/s/subframe-ms
-    pipe = ShardedDlPipeline(cell, grant, sf_idx=4)
-    batch = 384  # subframes per dispatch (amortizes the axon tunnel RTT)
-
-    @jax.jit
-    def step(key):
-        # bits generated on device: host<->device traffic is one key + a
-        # count.  Draw packed uint32 words and unpack — 32x fewer PRNG
-        # invocations than bernoulli over the bit tensor.
-        nbytes = -(-pipe.tbs // 8)
-        words = jax.random.bits(key, (batch, nbytes), jnp.uint8)
-        bits = ((words[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1)
-        bits = bits.reshape(batch, nbytes * 8)[:, : pipe.tbs]
-        out, ok, bler = pipe.e2e(bits, n_iter=5)
-        return ok.sum().astype(jnp.float32)
-
+    cell, step0 = build_step()
+    snr = jnp.float32(10.0 ** (SNR_DB / 10.0))
+    step = lambda k: step0(k, snr)
     keys = jax.random.split(jax.random.PRNGKey(0), 16)
-    n_ok = float(np.asarray(step(keys[0])))  # compile + sync
-    assert n_ok == batch, "benchmark chain must decode cleanly"
+    n_ok, dci_ok, cfi_ok = [float(np.asarray(x)) for x in step(keys[0])]
+    assert cfi_ok == BATCH, f"PCFICH decode failed: {cfi_ok}/{BATCH}"
+    assert dci_ok == BATCH, f"PDCCH blind search failed: {dci_ok}/{BATCH}"
+    assert n_ok >= 0.8 * BATCH, f"BLER implausibly high: {n_ok}/{BATCH}"
 
     n_iter = 10
     t0 = time.perf_counter()
     res = [step(keys[1 + i % 15]) for i in range(n_iter)]
-    _ = [np.asarray(r) for r in res]
+    outs = [[float(np.asarray(x)) for x in r] for r in res]
     dt = time.perf_counter() - t0
 
+    tb_ok = sum(o[0] for o in outs)
+    bler = 1.0 - tb_ok / (BATCH * n_iter)
     sf_len = cell.ofdm.sf_len
-    msps = batch * sf_len * n_iter / dt / 1e6
+    msps = BATCH * sf_len * n_iter / dt / 1e6
     print(json.dumps({
-        "metric": "dl_chain_100prb_64qam",
+        "metric": "dl_chain_100prb_64qam_awgn_ctrl",
         "value": round(msps, 2),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / REALTIME_MSPS, 2),
+        "snr_db": SNR_DB,
+        "tb_bler": round(bler, 4),
     }))
 
 

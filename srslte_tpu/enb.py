@@ -3,12 +3,22 @@
 Per-TTI loop over real PHY samples: DL subframes carry CRS/PSS/SSS, PBCH,
 PCFICH, SIB1 (SI-RNTI), RAR (RA-RNTI), and per-UE PDCCH+PDSCH with MAC PDUs
 muxed from SRB0 (RLC TM) / SRB1 (RLC AM + PDCP) / DRB1; UL subframes carry
-PRACH (detected to RARs) and granted PUSCH (msg3, RRC, NAS, user data).
-The MME is attached by direct call (the S1AP-lite boundary).
+PRACH (detected to RARs), PUCCH scheduling requests, and granted PUSCH
+(msg3, RRC, NAS, user data).  The MME is attached by direct call (the
+S1AP-lite boundary).
+
+ALL grants flow through the MAC scheduler (mac/sched.py SchedDl + SchedUl —
+sched_grid.cc:154 / mac.cc:598,610 analog): broadcast (SIB/RAR) through the
+common-space DCI-1A allocator, UE data through the RBG-bitmap DCI-1
+allocator with RLC-buffer-driven sizing, and UL through the BSR-driven
+DCI-0 allocator.  UL demand reaches the scheduler the reference way:
+PUCCH format-1 scheduling requests when the UE holds no grant, then BSR
+control elements piggybacked on PUSCH.
 
 Channel conventions shared with UeApp (both sides derive them from the cell
 config, like the reference's sib/rr configs): CFI 2, PRACH in subframes with
-tti % 10 == 1, msg3 grant fixed, periodic UL grants for connected UEs.
+tti % 10 == 1, msg3 grant fixed (carried in the RAR), SR opportunities at
+tti % 10 == 3 on PUCCH resource n_pucch = ue_id.
 """
 
 from __future__ import annotations
@@ -18,7 +28,9 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .mac.pdu import DL_LCID, UL_LCID, MacPdu
+from .mac.proc import bsr_bytes
 from .mac.ra import EnbRach
+from .mac.sched import SchedDl, SchedUl
 from .pdcp import PdcpConfig, PdcpEntity
 from .phy.common.params import Cell
 from .phy.enb.enb_dl import EnbDl
@@ -28,6 +40,7 @@ from .phy.phch.pbch import Mib
 from .phy.phch.pdcch import Location, Pdcch, ue_locations
 from .phy.phch.pdsch import Pdsch
 from .phy.phch.prach import PrachConfig, prach_detect
+from .phy.phch.pucch import Pucch, PucchConfig
 from .phy.phch.pusch import Pusch
 from .phy.phch.ra import DlGrant
 from .phy.phch.ra_ul import UlGrant
@@ -43,9 +56,9 @@ from .rrc.messages import (ConnectionReconfiguration, ConnectionRequest,
 SI_RNTI = 0xFFFF
 RA_RNTI = 0x0002
 CFI = 2
-MSG3_GRANT = UlGrant(prb_start=0, n_prb=4, mcs=4)
-UL_GRANT = UlGrant(prb_start=0, n_prb=6, mcs=8)
-UL_PERIOD = 4  # grant period for connected UEs (TTIs)
+MSG3_GRANT = UlGrant(prb_start=1, n_prb=4, mcs=4)
+SR_SF = 3  # SR opportunities at tti % 5 == 3, PUCCH f1 n_pucch = crnti % 12
+SR_GRANT_BYTES = 64  # nominal demand an SR conveys until a BSR refines it
 
 
 @dataclass
@@ -71,14 +84,24 @@ class EnbApp:
         self.enb_ul = EnbUl(cell)
         self.prach_cfg = PrachConfig(cell.ofdm, zero_corr_cfg=7)
         self.rach = EnbRach()
+        self.sched_dl = SchedDl(cell, cfi=CFI)
+        self.sched_ul = SchedUl(cell, cfi=CFI)
         self.ues: dict[int, EnbUe] = {}
         self.pending_rar: bytes | None = None
-        self.ul_expect: dict[int, tuple] = {}  # tti -> (crnti, grant, is_msg3)
+        self.ul_expect: dict[int, list] = {}  # tti -> [(crnti, grant, is_msg3)]
         self.sfn = 0
         self._next_ue_id = 1
         self._pending_nas: dict = {}
 
     # ---------------- DL ----------------------------------------------------
+    def _dl_buffer_bytes(self, ue: EnbUe) -> int:
+        """Pending DL bytes for the scheduler (RLC buffer state + CEs)."""
+        n = sum(r.get_buffer_state()
+                for r in (ue.srb0, ue.srb1, ue.drb1))
+        if ue.pending_ce is not None:
+            n += 7  # CE + subheader
+        return n + (4 if n else 0)  # MAC subheader slack
+
     def tx_subframe(self, tti: int):
         import jax.numpy as jnp
 
@@ -88,11 +111,9 @@ class EnbApp:
             g = self.enb_dl.put_pbch(g, Mib(self.cell.n_prb, "norm", "1",
                                             self.sfn))
         g = self.enb_dl.put_pcfich(g, sf, CFI)
-        pd = Pdcch(self.cell, CFI, sf)
-        used = []
 
-        def send_dlsch(rnti: int, payload, common: bool):
-            grant = DlGrant.full(self.cell.n_prb, self.mcs_dl)
+        def put_dlsch(rnti, grant, loc, dci_bits, payload):
+            nonlocal g
             pdsch = Pdsch(self.cell, grant, sf, cfi=CFI, rnti=rnti)
             tbs_bytes = grant.tbs // 8
             if isinstance(payload, MacPdu):
@@ -103,57 +124,75 @@ class EnbApp:
                 raise ValueError("DL payload exceeds TBS")
             raw = payload + bytes(tbs_bytes - len(payload))
             bits = np.unpackbits(np.frombuffer(raw, np.uint8))[: grant.tbs]
-            dci = Dci1A(rb_start=0, l_crb=self.cell.n_prb, mcs=self.mcs_dl)
-            # L=4 aligned candidates only (matches the UE's exhaustive search)
-            locs = [Location(c, 4) for c in range(0, pd.n_cce - 3, 4)]
-            loc = next(l for l in locs
-                       if all(not (l.cce < u.cce + u.L and u.cce < l.cce + l.L)
-                              for u in used))
-            used.append(loc)
-            nonlocal g
-            g = self.enb_dl.put_pdcch(g, sf, CFI, pack_format1a(dci, self.cell.n_prb),
-                                      rnti, loc)
+            g = self.enb_dl.put_pdcch(g, sf, CFI, dci_bits, rnti, loc)
             g = self.enb_dl.put_pdsch(g, pdsch, jnp.asarray(bits))
 
-        # RAR (RA-RNTI) — sent once, 2 TTIs after detection
+        # -- broadcast requests for this TTI (bc_sched/ra_sched analog) ------
+        bc_requests = []
+        bc_payloads = {}
         if self.pending_rar is not None:
-            send_dlsch(RA_RNTI, self.pending_rar, common=True)
-            # schedule the msg3 PUSCH 4 TTIs out for the newest temp C-RNTI
-            crnti = self.rach.next_crnti - 1
-            self.ul_expect[tti + 4] = (crnti, MSG3_GRANT, True)
-            self.pending_rar = None
-        elif tti % 40 == 5:  # SIB1 broadcast
-            send_dlsch(SI_RNTI, rrc_pack(Sib1()), common=True)
+            bc_requests.append((RA_RNTI, len(self.pending_rar), 0))
+            bc_payloads[RA_RNTI] = self.pending_rar
+        if tti % 40 == 5:  # SIB1 broadcast window
+            sib = rrc_pack(Sib1())
+            bc_requests.append((SI_RNTI, len(sib), 0))
+            bc_payloads[SI_RNTI] = sib
 
-        # per-UE DL data + periodic UL grants
+        # -- DL buffer states into the scheduler -----------------------------
         for crnti, ue in self.ues.items():
+            if crnti not in self.sched_dl.ues:
+                self.sched_dl.add_ue(crnti)
+            self.sched_dl.buffer_state(crnti, self._dl_buffer_bytes(ue))
+
+        bc_allocs, dl_allocs = self.sched_dl.schedule_sf(tti, bc_requests)
+        self.sched_dl.check_invariants(dl_allocs)
+
+        for a in bc_allocs:
+            put_dlsch(a.rnti, a.grant, a.loc,
+                      pack_format1a(a.dci, self.cell.n_prb),
+                      bc_payloads[a.rnti])
+            if a.rnti == RA_RNTI:
+                # msg3 PUSCH 4 TTIs out for the newest temp C-RNTI (grant
+                # carried in the RAR payload)
+                crnti = self.rach.next_crnti - 1
+                self.ul_expect.setdefault(tti + 4, []).append(
+                    (crnti, MSG3_GRANT, True))
+                self.pending_rar = None
+
+        # -- per-UE DL data: mux MAC PDUs to the scheduled TBS ---------------
+        from .phy.phch.dci import pack_format1
+
+        for a in dl_allocs:
+            ue = self.ues[a.rnti]
+            tbs_bytes = a.grant.tbs // 8
             pdu = MacPdu()
             n = 0
             if ue.pending_ce is not None:
                 pdu.add_ce(int(DL_LCID.CON_RES_ID), ue.pending_ce)
                 ue.pending_ce = None
                 n += 1
-            tbs_bytes = DlGrant.full(self.cell.n_prb, self.mcs_dl).tbs // 8
             for lcid, rlc in ((0, ue.srb0), (1, ue.srb1), (3, ue.drb1)):
                 if rlc.get_buffer_state() > 0:
                     sdu = rlc.read_pdu(tbs_bytes - 12)
                     if sdu:
                         pdu.add_sdu(lcid, sdu)
                         n += 1
-            if n:
-                send_dlsch(crnti, pdu, common=False)
-            if ue.rrc_state != "idle" and tti % UL_PERIOD == 2:
-                dci0 = Dci0(rb_start=UL_GRANT.prb_start, l_crb=UL_GRANT.n_prb,
-                            mcs_rv=UL_GRANT.mcs)
-                loc = next(l for l in (Location(c, 4)
-                                       for c in range(0, pd.n_cce - 3, 4))
-                           if all(not (l.cce < u.cce + u.L and u.cce < l.cce + l.L)
-                                  for u in used))
-                used.append(loc)
-                g = self.enb_dl.put_pdcch(g, sf, CFI,
-                                          pack_format0(dci0, self.cell.n_prb),
-                                          crnti, loc)
-                self.ul_expect[tti + 4] = (crnti, UL_GRANT, False)
+            if not n:
+                continue
+            put_dlsch(a.rnti, a.grant, a.loc,
+                      pack_format1(a.dci, self.cell.n_prb), pdu)
+
+        # -- UL grants: BSR/SR-driven through SchedUl ------------------------
+        used_cce = np.zeros(Pdcch(self.cell, CFI, sf).n_cce, bool)
+        for a in bc_allocs + dl_allocs:
+            used_cce[a.loc.cce : a.loc.cce + a.loc.L] = True
+        for a in self.sched_ul.schedule(tti, used_cce=used_cce):
+            dci0 = Dci0(rb_start=a.prb_start, l_crb=a.n_prb, mcs_rv=a.mcs)
+            g = self.enb_dl.put_pdcch(g, sf, CFI,
+                                      pack_format0(dci0, self.cell.n_prb),
+                                      a.rnti, a.loc)
+            self.ul_expect.setdefault(tti + 4, []).append(
+                (a.rnti, UlGrant(a.prb_start, a.n_prb, a.mcs), False))
 
         if sf == 9:
             self.sfn = (self.sfn + 1) % 1024
@@ -161,28 +200,45 @@ class EnbApp:
 
     # ---------------- UL ----------------------------------------------------
     def rx_subframe(self, samples, tti: int):
-        """samples: PRACH window (tti%10==1), PUSCH subframe, or None."""
+        """samples: PRACH window (tti%10==1), PUCCH/PUSCH subframe, or None."""
         if samples is None:
             self._tick()
             return
-        if tti % 10 == 1 and tti not in self.ul_expect:
+        expected = self.ul_expect.pop(tti, [])
+        if tti % 10 == 1 and not expected:
             det, metric, toff = prach_detect(self.prach_cfg, samples)
             det = np.asarray(det)
             if det.any():
                 idx = np.where(det)[0].tolist()
                 tas = [int(np.asarray(toff)[i]) for i in idx]
                 self.pending_rar = self.rach.rach_detected(idx, tas)
-        elif tti in self.ul_expect:
-            crnti, grant, is_msg3 = self.ul_expect.pop(tti)
+            self._tick()
+            return
+        for crnti, grant, is_msg3 in expected:
             pusch = Pusch(self.cell, grant, tti % 10, rnti=crnti)
             bits, ok, _ = self.enb_ul.decode_pusch(samples, pusch)
             if not bool(np.asarray(ok)):
-                return
+                continue
             raw = np.packbits(np.asarray(bits)).tobytes()
             if is_msg3:
                 self._handle_msg3(crnti, raw)
             else:
                 self._handle_ul_mac(crnti, raw)
+        if tti % 5 == SR_SF:
+            # scheduling requests: PUCCH format 1 per connected UE (skip UEs
+            # that transmitted PUSCH in this same subframe)
+            served = {c for c, _, _ in expected}
+            for crnti, ue in self.ues.items():
+                if crnti in served or ue.rrc_state == "idle":
+                    continue
+                pucch = Pucch(self.cell,
+                              PucchConfig("1", n_pucch=crnti % 12),
+                              sf_idx=tti % 10)
+                res = self.enb_ul.decode_pucch(samples, pucch)
+                if bool(np.asarray(res["detected"])):
+                    self.sched_ul.ul_bsr(
+                        crnti, max(self.sched_ul.bsr.get(crnti, 0),
+                                   SR_GRANT_BYTES))
         self._tick()
 
     def _tick(self):
@@ -217,6 +273,9 @@ class EnbApp:
                 ue.srb1.write_pdu(s.payload)
             elif s.lcid == 3:
                 ue.drb1.write_pdu(s.payload)
+            elif s.lcid in (int(UL_LCID.SHORT_BSR), int(UL_LCID.TRUNC_BSR)):
+                idx = s.payload[0] & 0x3F
+                self.sched_ul.ul_bsr(crnti, bsr_bytes(idx) if idx else 0)
         # drain SRB1 -> (PDCP) -> RRC
         for sdu in ue.srb1.rx_sdus[:]:
             ue.srb1.rx_sdus.remove(sdu)

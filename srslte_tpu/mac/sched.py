@@ -16,10 +16,10 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..phy.common.params import Cell
-from ..phy.phch.dci import Dci1, format1_size, pack_format1
-from ..phy.phch.pdcch import Location, ue_locations
+from ..phy.phch.dci import Dci1, Dci1A, format1_size, pack_format1
+from ..phy.phch.pdcch import Location, common_locations, ue_locations
 from ..phy.phch.pdsch import dlsch_config, sf_flags
-from ..phy.phch.ra import DlGrant, rbg_size
+from ..phy.phch.ra import DlGrant, rbg_size, tbs_from_itbs
 from ..phy.phch.regs import reg_layout
 from .harq import RV_SEQ
 
@@ -48,6 +48,22 @@ class DlAlloc:
 
 
 @dataclass
+class BcAlloc:
+    """Common-search-space allocation (SIB/RAR/paging) — DCI 1A type-2.
+
+    Reference: sched_carrier.cc bc_sched/ra_sched allocate broadcast before
+    UE data, in the common space, with the P/SI/RA-RNTI 1A TBS semantics
+    (I_TBS direct + N_prb_1A in {2,3} from the TPC LSB, ra_dl.c:374-385).
+    """
+
+    rnti: int
+    grant: DlGrant
+    dci: Dci1A
+    loc: Location
+    tbs: int
+
+
+@dataclass
 class SchedDl:
     """Per-TTI DL scheduler over one carrier."""
 
@@ -64,14 +80,73 @@ class SchedDl:
         self.ues[rnti].buffer_bytes = nof_bytes
 
     # -- core allocation ------------------------------------------------------
-    def schedule(self, tti: int) -> list[DlAlloc]:
-        """Allocate RBGs + PDCCH CCEs for this TTI; updates UE HARQ/PF state."""
-        sf_idx = tti % 10
+    def schedule_sf(self, tti: int, bc_requests=()):
+        """One TTI: broadcast first, then UE data sharing the same RBG/CCE
+        occupancy (sf_grid_t semantics, sched_grid.cc:154).
+
+        bc_requests: [(rnti, nof_bytes, rv)] for SI/RA/P-RNTI payloads.
+        Returns (bc_allocs, dl_allocs).
+        """
         p = rbg_size(self.cell.n_prb)
         n_rbg = -(-self.cell.n_prb // p)
         rbg_free = np.ones(n_rbg, bool)
         n_cce = reg_layout(self.cell).n_cce[self.cfi]
         cce_free = np.ones(n_cce, bool)
+        bc = self._alloc_bc(bc_requests, rbg_free, cce_free)
+        ue = self._alloc_ues(tti, rbg_free, cce_free)
+        return bc, ue
+
+    def schedule(self, tti: int) -> list[DlAlloc]:
+        """Allocate RBGs + PDCCH CCEs for this TTI; updates UE HARQ/PF state."""
+        return self.schedule_sf(tti)[1]
+
+    def _alloc_bc(self, requests, rbg_free, cce_free) -> list[BcAlloc]:
+        p = rbg_size(self.cell.n_prb)
+        n_rbg = len(rbg_free)
+        out: list[BcAlloc] = []
+        for req in requests:
+            rnti, nof_bytes, rv = (req if len(req) == 3 else (*req, 0))
+            need = nof_bytes * 8
+            # smallest common-RNTI TBS covering the payload
+            pick = None
+            for npa in (2, 3):
+                for i_tbs in range(27):
+                    if tbs_from_itbs(i_tbs, npa) >= need:
+                        pick = (i_tbs, npa)
+                        break
+                if pick:
+                    break
+            if pick is None:
+                raise ValueError(f"broadcast payload too large: {nof_bytes}B")
+            i_tbs, npa = pick
+            tbs = tbs_from_itbs(i_tbs, npa)
+            # PRBs: enough for QPSK code rate <= ~1/3 (~200 usable coded
+            # bits per PRB-pair at CFI<=2), RBG-aligned, leftmost-free run
+            want_prb = min(self.cell.n_prb, max(p, -(-3 * tbs // 200)))
+            want_rbg = -(-want_prb // p)
+            run = next((g for g in range(n_rbg - want_rbg + 1)
+                        if rbg_free[g : g + want_rbg].all()), None)
+            if run is None:
+                continue  # no room this TTI; caller retries next TTI
+            loc = next((l for l in common_locations(len(cce_free))
+                        if cce_free[l.cce : l.cce + l.L].all()), None)
+            if loc is None:
+                continue
+            rbg_free[run : run + want_rbg] = False
+            cce_free[loc.cce : loc.cce + loc.L] = False
+            rb_start = run * p
+            l_crb = min(want_rbg * p, self.cell.n_prb - rb_start)
+            dci = Dci1A(rb_start=rb_start, l_crb=l_crb, mcs=i_tbs, rv=rv,
+                        tpc=1 if npa == 3 else 0)
+            grant = dci.grant(self.cell.n_prb, rnti)
+            out.append(BcAlloc(rnti, grant, dci, loc, grant.tbs))
+        return out
+
+    def _alloc_ues(self, tti: int, rbg_free, cce_free) -> list[DlAlloc]:
+        sf_idx = tti % 10
+        p = rbg_size(self.cell.n_prb)
+        n_rbg = len(rbg_free)
+        n_cce = len(cce_free)
 
         cands = [u for u in self.ues.values() if u.buffer_bytes > 0]
         if not cands:
@@ -180,7 +255,10 @@ class SchedUl:
         cce_free = np.ones(n_cce, bool)
         if used_cce is not None:
             cce_free[: len(used_cce)] &= ~np.asarray(used_cce)
-        prb_next = 0
+        # PRBs 0 and N-1 are the PUCCH region (format-1 SR/ACK resources map
+        # to the band edges) — PUSCH stays inside [1, N-1)
+        prb_next = 1
+        prb_end = self.cell.n_prb - 1
         out: list[UlAlloc] = []
         rntis = [r for r in sorted(self.bsr) if self.bsr[r] > 0]
         if not rntis:
@@ -188,10 +266,13 @@ class SchedUl:
         start = self._rr_next % len(rntis)
         for rnti in rntis[start:] + rntis[:start]:
             mcs = self.mcs.get(rnti, 10)
-            need = self.bsr[rnti] * 8
+            # MAC subheaders + BSR CE + RLC header margin on top of the
+            # reported buffer (BSR indices round down, sched_ue.cc adds the
+            # same slack) — without it a boundary-size SDU never fits
+            need = (self.bsr[rnti] + 10) * 8
             # smallest DFT-valid contiguous chunk covering the BSR
             n = 0
-            for cand in range(1, self.cell.n_prb - prb_next + 1):
+            for cand in range(1, prb_end - prb_next + 1):
                 if not valid_prb(cand):
                     continue
                 n = cand

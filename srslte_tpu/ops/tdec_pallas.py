@@ -10,20 +10,25 @@ Kernel idioms (why it is shaped this way):
 - ONE merged sequential loop runs the alpha recursion forward (t = 0..T+L-1)
   and the beta recursion backward (t = LT-1..T) in the same step — double
   the independent work per step, half the sequential depth of two passes.
-- The 8-state trellis "gather" (predecessor/successor selection) is a pair
-  of [8,8] x [8,TILE] MATMULS with 0/1 permutation matrices built from iota:
-  full-width MXU work instead of single-sublane row shuffles, and no
-  trace-time constants captured (Pallas forbids captured arrays).
-- Branch gammas use 0/1 sublane masks, also built from iota via the closed
-  trellis identities (verified in _check_identities against
-  turbo.trellis_tables):
+- The 8 trellis state metrics are EIGHT SEPARATE (8, 128) arrays — each
+  exactly one full VPU register of WINDOWS (SUB*LANE = 1024 windows per
+  program).  The trellis predecessor/successor "gather" is plain Python
+  list indexing resolved at trace time: zero data movement, and every
+  elementwise op runs at full (8, 128) vector-register utilization.  (The
+  previous layout kept states on sublanes, [8, TILE]: every per-state row
+  op then occupied whole vregs at 1/8 sublane utilization — measured 0.55
+  VPU instructions per window-step vs ~0.11 for this layout.)
+- Branch gammas come from the closed trellis identities (verified in
+  _check_identities against turbo.trellis_tables):
     alpha, into s' dropping bit b: pred = ((s'&3)<<1)|b,
       u = bit2^bit0(s') ^ b, parity = bit2^bit1(s') ^ b
     beta, from s with input u=0: next n0 = (s>>1)|((bit0^bit1)(s)<<2),
       parity p0 = (bit1^bit2)(s); u=1: n1 = n0^4, p1 = p0^1.
 - LLRs are emitted inside the SAME loop, predicated: position t is finished
   by whichever recursion visits it second (alpha for t past the midpoint,
-  beta before it), reading the other side's stored history.
+  beta before it), reading the other side's stored history.  The histories
+  only span the provably-accessed ranges (alpha: [0, half), beta:
+  [half, T+L)), halving VMEM scratch.
 
 Window layout (one unified halo window per output window):
   positions wL-T .. wL+L+T-1 (length LT = L+2T); alpha has an exact state-0
@@ -47,7 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..phy.fec.tdec import NEG, _tail_beta, _trellis_unrolled
 
-TILE = 512  # window lanes per program
+SUB, LANE = 8, 128
+TILE = SUB * LANE  # windows per program (one full vreg per state metric)
 
 
 @functools.lru_cache(maxsize=1)
@@ -70,107 +76,107 @@ def _check_identities():
     return True
 
 
+def _tree_max(xs):
+    while len(xs) > 1:
+        xs = [jnp.maximum(xs[i], xs[i + 1]) for i in range(0, len(xs) - 1, 2)] \
+            + ([xs[-1]] if len(xs) & 1 else [])
+    return xs[0]
+
+
 def _siso_kernel(L: int, T: int, K: int, W: int):
     _check_identities()
     LT = L + 2 * T
     S = T + L  # merged loop steps
+    half = (LT - 1) // 2 + 1  # first i with t_a=i visited after beta
+    OFF = half - T  # beta history only holds indices [OFF, L)
     f32 = jnp.float32
 
-    def kernel(sa_ref, pr_ref, b0_ref, llr_ref, a_scr, b_scr):
-        # ---- static tensors from iota (nothing captured) --------------------
-        row = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
-        pa = (col == ((row & 3) * 2)).astype(f32)  # alpha pred, b=0
-        pb = (col == ((row & 3) * 2 + 1)).astype(f32)  # alpha pred, b=1
-        n0r = (row >> 1) | (((row ^ (row >> 1)) & 1) << 2)
-        pn0 = (col == n0r).astype(f32)  # beta succ, u=0
-        pn1 = (col == (n0r ^ 4)).astype(f32)  # beta succ, u=1
-        st = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-        u_a = (((st >> 2) ^ st) & 1).astype(f32)  # alpha: input bit, b=0
-        q_a = (((st >> 2) ^ (st >> 1)) & 1).astype(f32)  # alpha: parity, b=0
-        u_b, q_b = 1.0 - u_a, 1.0 - q_a  # b=1 flips both
-        p0 = q_a  # beta: parity of u=0 branch == (bit1^bit2)(s)
-        p1 = 1.0 - p0
+    preds, succs = _trellis_unrolled()
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-        w_of_lane = (pl.program_id(0) * TILE + lane) % W
+    def kernel(sa_ref, pr_ref, b0_ref, llr_ref, a_scr, b_scr):
+        # window index of each (sublane, lane) element of this program
+        sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+        ln = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+        w_of = (pl.program_id(0) * TILE + sub * LANE + ln) % W
 
         def live_at(t):
-            pos = w_of_lane * L + (t - T)
+            pos = w_of * L + (t - T)
             return jnp.logical_and(pos >= 0, pos < K)
 
-        preds, succs = _trellis_unrolled()
+        def gammas(sa, pr):
+            return (None, pr, sa, sa + pr)
 
-        def alpha_branches(a, sa, pr):
-            g = (None, pr[0], sa[0], sa[0] + pr[0])
-            ra, rb = [], []
+        def alpha_step(A, sa, pr):
+            g = gammas(sa, pr)
+            out = []
             for sp in range(8):
                 (sA, uA, pA), (sB, uB, pB) = preds[sp]
                 ga, gb = g[(uA << 1) | pA], g[(uB << 1) | pB]
-                ra.append(a[sA] if ga is None else a[sA] + ga)
-                rb.append(a[sB] if gb is None else a[sB] + gb)
-            return jnp.stack(ra), jnp.stack(rb)
+                ra = A[sA] if ga is None else A[sA] + ga
+                rb = A[sB] if gb is None else A[sB] + gb
+                out.append(jnp.maximum(ra, rb))
+            return out
 
-        def beta_branches(b, sa, pr):
-            g = (None, pr[0], sa[0], sa[0] + pr[0])
+        def beta_branches(B, sa, pr):
+            g = gammas(sa, pr)
             r0, r1 = [], []
             for s in range(8):
                 (n0, p0_), (n1, p1_) = succs[s]
                 g0, g1 = g[p0_], g[2 | p1_]
-                r0.append(b[n0] if g0 is None else b[n0] + g0)
-                r1.append(b[n1] + g1)
-            return jnp.stack(r0), jnp.stack(r1)
-
-        half = (LT - 1) // 2 + 1  # first i with t_a=i visited after beta
+                r0.append(B[n0] if g0 is None else B[n0] + g0)
+                r1.append(B[n1] + g1)
+            return r0, r1
 
         def step(i, carry):
-            a, b = carry
+            # i is a PYTHON int: every ref index below is a trace-time
+            # constant (static VMEM addressing) and every range predicate
+            # resolves at trace time (no in-kernel control flow at all).
+            A, B = carry
             t_a = i
             t_b = LT - 1 - i
-            sa_a = sa_ref[t_a][None]
-            pr_a = pr_ref[t_a][None]
-            sa_b = sa_ref[t_b][None]
-            pr_b = pr_ref[t_b][None]
+            sa_a, pr_a = sa_ref[t_a, 0], pr_ref[t_a, 0]
+            sa_b, pr_b = sa_ref[t_b, 0], pr_ref[t_b, 0]
 
-            # ---- alpha at t_a (history only read by beta-side LLR, t < half;
-            # with the fully-unrolled loop this predicate is trace-time) ----
-            @pl.when(t_a < half)
-            def _():
-                a_scr[t_a] = a
-            ra, rb = alpha_branches(a, sa_a, pr_a)
-            a_new = jnp.where(live_at(t_a), jnp.maximum(ra, rb), a)
+            # ---- alpha at t_a (history read by the beta-side LLR, t < half)
+            if t_a < half:
+                for s in range(8):
+                    a_scr[t_a, s] = A[s]
+            ra = alpha_step(A, sa_a, pr_a)
+            live_a = live_at(t_a)
+            A_new = [jnp.where(live_a, ra[s], A[s]) for s in range(8)]
 
             # alpha-side LLR for t_a in [half, T+L): beta history is complete
-            @pl.when(jnp.logical_and(t_a >= half, t_a >= T))
-            def _():
-                bh = b_scr[t_a - T]  # beta_{t_a+1}
-                b0r, b1r = beta_branches(bh, sa_a, pr_a)
-                m0 = jnp.max(a + b0r, axis=0)
-                m1 = jnp.max(a + b1r, axis=0)
-                llr_ref[t_a - T] = m1 - m0
+            if half <= t_a < T + L:
+                Bh = [b_scr[t_a - T - OFF, s] for s in range(8)]
+                b0r, b1r = beta_branches(Bh, sa_a, pr_a)
+                m0 = _tree_max([A[s] + b0r[s] for s in range(8)])
+                m1 = _tree_max([A[s] + b1r[s] for s in range(8)])
+                llr_ref[t_a - T, 0] = m1 - m0
 
-            # ---- beta at t_b (history stored shifted by T; only the entries
-            # the alpha-side LLR emission will read: t in [half, T+L)) ----
-            @pl.when(jnp.logical_and(t_b >= max(T, half), t_b < T + L))
-            def _():
-                b_scr[t_b - T] = b
-            b0r, b1r = beta_branches(b, sa_b, pr_b)
-            b_new = jnp.where(live_at(t_b), jnp.maximum(b0r, b1r), b)
+            # ---- beta at t_b (store only the entries the alpha-side LLR
+            # emission will read: t in [half, T+L)) ----
+            if max(T, half) <= t_b < T + L:
+                for s in range(8):
+                    b_scr[t_b - T - OFF, s] = B[s]
+            b0r, b1r = beta_branches(B, sa_b, pr_b)
+            live_b = live_at(t_b)
+            B_new = [jnp.where(live_b, jnp.maximum(b0r[s], b1r[s]), B[s])
+                     for s in range(8)]
 
             # beta-side LLR for t_b in [T, half): alpha history is complete
-            @pl.when(jnp.logical_and(t_b < half, t_b >= T))
-            def _():
-                ah = a_scr[t_b]  # alpha_{t_b}
-                m0 = jnp.max(ah + b0r, axis=0)
-                m1 = jnp.max(ah + b1r, axis=0)
-                llr_ref[t_b - T] = m1 - m0
+            if T <= t_b < half:
+                Ah = [a_scr[t_b, s] for s in range(8)]
+                m0 = _tree_max([Ah[s] + b0r[s] for s in range(8)])
+                m1 = _tree_max([Ah[s] + b1r[s] for s in range(8)])
+                llr_ref[t_b - T, 0] = m1 - m0
 
-            return a_new, b_new
+            return A_new, B_new
 
-        stl = jax.lax.broadcasted_iota(jnp.int32, (8, TILE), 0)
-        a0 = jnp.where(jnp.logical_and(w_of_lane == 0, stl != 0),
-                       f32(NEG), f32(0.0))
-        jax.lax.fori_loop(0, S, step, (a0, b0_ref[:]), unroll=S)
+        zero = jnp.zeros((SUB, LANE), f32)
+        neg_nonfirst = jnp.where(w_of == 0, f32(NEG), f32(0.0))
+        carry = ([zero] + [neg_nonfirst] * 7, [b0_ref[s, 0] for s in range(8)])
+        for i in range(S):
+            carry = step(i, carry)
 
     return kernel
 
@@ -186,6 +192,7 @@ def siso_windowed_pallas(sys_apr, par, tail_x, tail_z, L: int = 128, T: int = 32
     N = B * W
     LT = L + 2 * T
     n_pad = -(-N // TILE) * TILE
+    NP = n_pad // TILE
 
     pos = (np.arange(W) * L)[:, None] + np.arange(-T, L + T)[None, :]  # [W, LT]
     idx = jnp.asarray(np.clip(pos, 0, K - 1).astype(np.int32))
@@ -193,31 +200,34 @@ def siso_windowed_pallas(sys_apr, par, tail_x, tail_z, L: int = 128, T: int = 32
 
     def windows(x):
         g = (x[:, idx] * act).reshape(N, LT).T  # [LT, N]
-        return jnp.pad(g, ((0, 0), (0, n_pad - N)))
+        return jnp.pad(g, ((0, 0), (0, n_pad - N))).reshape(LT, NP, SUB, LANE)
 
     sa_w, pr_w = windows(sys_apr), windows(par)
 
     bK = _tail_beta(tail_x, tail_z)  # [B, 8]
     b0 = jnp.zeros((B, W, 8), jnp.float32).at[:, W - 1].set(bK).reshape(N, 8)
-    b0 = jnp.pad(b0, ((0, n_pad - N), (0, 0))).T
+    b0 = jnp.pad(b0, ((0, n_pad - N), (0, 0))).T.reshape(8, NP, SUB, LANE)
 
-    grid = (n_pad // TILE,)
-    col = lambda i: (0, i)
+    half = (LT - 1) // 2 + 1
     llr = pl.pallas_call(
         _siso_kernel(L, T, K, W),
-        grid=grid,
+        grid=(NP,),
         in_specs=[
-            pl.BlockSpec((LT, TILE), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((LT, TILE), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((LT, 1, SUB, LANE), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LT, 1, SUB, LANE), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1, SUB, LANE), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L, TILE), col, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, n_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((T + L, 8, TILE), jnp.float32),
-                        pltpu.VMEM((L, 8, TILE), jnp.float32)],
+        out_specs=pl.BlockSpec((L, 1, SUB, LANE), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, NP, SUB, LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((half, 8, SUB, LANE), jnp.float32),
+                        pltpu.VMEM((L + T - half, 8, SUB, LANE), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=int(n_pad * LT * 160), bytes_accessed=int(n_pad * LT * 12),
             transcendentals=0),
     )(sa_w, pr_w, b0)
-    out = llr[:, :N].reshape(L, B, W).transpose(1, 2, 0).reshape(B, W * L)
-    return out[:, :K]
+    out = llr.reshape(L, n_pad)[:, :N].reshape(L, B, W).transpose(1, 2, 0)
+    return out.reshape(B, W * L)[:, :K]

@@ -25,3 +25,8 @@ class EnbUl:
         """samples [..., sf_len] -> (bits, crc_ok, info)."""
         grid = self.ofdm.rx_sf(samples)
         return pusch.decode(grid, n_iter=n_iter)
+
+    def decode_pucch(self, samples, pucch, **kw):
+        """samples [..., sf_len] -> pucch.decode dict (SR/ACK/CQI)."""
+        grid = self.ofdm.rx_sf(samples)
+        return pucch.decode(grid, **kw)

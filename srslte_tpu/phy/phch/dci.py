@@ -185,7 +185,9 @@ class Dci1:
     rv: int = 0
     tpc: int = 0
 
-    def grant(self, n_prb: int) -> DlGrant:
+    def grant(self, n_prb: int, rnti: int | None = None) -> DlGrant:
+        # format 1 is only ever CRC-scrambled by a C-RNTI; rnti accepted for
+        # signature parity with Dci1A.grant
         return DlGrant.type0(n_prb, self.rbg_bitmask, self.mcs, self.rv)
 
 

@@ -105,27 +105,83 @@ def dlsch_encode(bits, cfg: DlschConfig):
     return jnp.concatenate(out, axis=-1).astype(jnp.uint8)
 
 
-def dlsch_decode(llr, cfg: DlschConfig, n_iter: int = 5, early: int = 1):
+def dlsch_decode(llr, cfg: DlschConfig, n_iter: int = 5, early: int = 1,
+                 compact_frac: int = 8):
     """llr [..., G] (positive ⇒ bit 1) -> (bits [..., tbs] uint8, crc_ok [...]).
 
     Early termination, TPU style: the reference's turbo decoder stops
-    iterating when the CRC passes (effectively 1-2 iterations at operating
-    SNR, max 8 — ue_phy_interfaces.h pdsch_max_its).  Data-dependent
-    per-CB exit doesn't fit static shapes, so this decodes the whole batch
-    at `early` iterations, CRC-checks it batched, and only re-decodes (at
-    the full n_iter) under a lax.cond when ANY block failed — one cheap
-    pass on clean channels, full effort otherwise.
+    iterating per CB when the CRC passes (effectively 1-2 iterations at
+    operating SNR, max 8 — ue_phy_interfaces.h pdsch_max_its).  Data-
+    dependent per-CB exit doesn't fit static shapes, so:
+
+      phase 1: decode ALL code blocks at `early` iterations; CB-level CRC.
+      phase 2: gather the failing CBs into a dense batch of static capacity
+        ceil(N/compact_frac), decode those at the full n_iter, scatter the
+        results back.  Only when the failure count exceeds the capacity
+        (wrong operating point) does a lax.cond re-decode the whole batch.
+
+    On a clean channel this costs `early` iterations; at an operating point
+    with a few percent early-phase failures it costs early + n_iter/compact_
+    frac instead of early + n_iter.
     """
     import jax
     import jax.numpy as jnp
 
-    if early and early < n_iter:
-        bits1, ok1 = _dlsch_decode_fixed(llr, cfg, early)
-        return jax.lax.cond(
-            jnp.all(ok1),
-            lambda: (bits1, ok1),
-            lambda: _dlsch_decode_fixed(llr, cfg, n_iter))
-    return _dlsch_decode_fixed(llr, cfg, n_iter)
+    if not (early and early < n_iter):
+        return _dlsch_decode_fixed(llr, cfg, n_iter)
+
+    seg = cfg.seg
+    batch = llr.shape[:-1]
+    parts, ok_parts = [], []
+    pos = 0
+    for g in cfg.groups:
+        block = llr[..., pos : pos + g.count * g.E]
+        pos += g.count * g.E
+        e = block.reshape(batch + (g.count, g.E))
+        w = turbo.rm_rx(e, g.K, rv=cfg.rv, f=g.F)
+        flat = w.reshape((-1, w.shape[-1]))  # [Ng, 3(K+4)]
+        ng = int(np.prod(batch)) * g.count
+        hard1, _ = turbo_decode(flat, g.K, n_iter=early)
+
+        if seg.C > 1:
+            pb, po = crcmod.LTE_CRC24B
+            ok1 = crcmod.crc_ok_device(hard1, pb, po)  # [Ng]
+        else:
+            pa, oa = crcmod.LTE_CRC24A
+            ok1 = crcmod.crc_ok_device(hard1[..., g.F :], pa, oa)
+
+        cap = max(1, -(-ng // compact_frac))
+        order = jnp.argsort(ok1.astype(jnp.int32), stable=True)  # fails first
+        idx = order[:cap]
+        nfail = jnp.sum(jnp.logical_not(ok1))
+
+        def retry_compact(flat=flat, hard1=hard1, ok1=ok1, idx=idx, g=g):
+            hard2, _ = turbo_decode(flat[idx], g.K, n_iter=n_iter)
+            keep = ok1[idx][:, None]  # already-good rows keep phase-1 bits
+            return hard1.at[idx].set(jnp.where(keep, hard1[idx], hard2))
+
+        def retry_full(flat=flat, g=g):
+            return turbo_decode(flat, g.K, n_iter=n_iter)[0]
+
+        hard = jax.lax.cond(
+            nfail == 0, lambda: hard1,
+            lambda: jax.lax.cond(nfail <= cap, retry_compact, retry_full))
+        hard = hard.reshape(batch + (g.count, g.K))
+        if seg.C > 1:
+            pb, po = crcmod.LTE_CRC24B
+            ok_parts.append(crcmod.crc_ok_device(hard, pb, po))
+            payload = hard[..., g.F : g.K - 24]
+        else:
+            payload = hard[..., g.F :]
+        parts.append(payload.reshape(batch + (g.count * g.data_bits,)))
+
+    b = jnp.concatenate(parts, axis=-1)  # [..., tbs+24]
+    pa, oa = crcmod.LTE_CRC24A
+    tb_ok = crcmod.crc_ok_device(b, pa, oa)
+    if ok_parts:
+        cb_ok = jnp.all(jnp.concatenate(ok_parts, axis=-1), axis=-1)
+        tb_ok = jnp.logical_and(tb_ok, cb_ok)
+    return b[..., : cfg.tbs].astype(jnp.uint8), tb_ok
 
 
 def _dlsch_decode_fixed(llr, cfg: DlschConfig, n_iter: int):

@@ -33,3 +33,8 @@ class UeUl:
         if cfo:
             samples = cfo_correct(samples, -cfo, self.cell.ofdm.symbol_sz)
         return samples
+
+    def encode_pucch(self, pucch, ack_bits=(), cqi_bits=()):
+        """PUCCH-only subframe (SR / ACK / CQI) -> time samples [sf_len]."""
+        grid = pucch.encode(ack_bits=ack_bits, cqi_bits=cqi_bits)
+        return self.ofdm.tx_sf(grid)

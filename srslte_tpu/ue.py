@@ -6,7 +6,10 @@ grants (DCI 0); DL-SCH MAC demux -> SRB0/SRB1/DRB RLC -> PDCP -> RRC/NAS;
 UL path builds PRACH and granted PUSCH subframes (msg3, RRC, NAS, data).
 
 Conventions shared with EnbApp: CFI 2, PRACH at tti % 10 == 1, msg3 grant
-fixed, PUSCH 4 TTIs after the grant.
+fixed (carried in the RAR), PUSCH 4 TTIs after the grant, SR opportunities
+at tti % 10 == 3 on PUCCH format 1 resource n_pucch = crnti % 12.  UL-SCH
+PDUs piggyback a short BSR control element so the eNB scheduler tracks the
+remaining uplink demand (BSR-driven SchedUl).
 """
 
 from __future__ import annotations
@@ -15,16 +18,20 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .mac.pdu import DL_LCID, MacPdu
+from .mac.pdu import DL_LCID, UL_LCID, MacPdu
+from .mac.proc import short_bsr_ce
 from .mac.ra import UeRaProc
 from .nas.keys import kdf_as_keys, kdf_kenb
 from .pdcp import PdcpConfig, PdcpEntity
 from .phy.common.params import Cell
-from .phy.phch.dci import (format0_1a_size, unpack_format0, unpack_format1a)
+from .phy.phch.dci import (format0_1a_size, format1_size,
+                           unpack_format0, unpack_format1,
+                           unpack_format1a)
 from .phy.phch.pbch import Mib
 from .phy.phch.pdcch import Pdcch
 from .phy.phch.pdsch import Pdsch
 from .phy.phch.prach import PrachConfig, prach_gen
+from .phy.phch.pucch import Pucch, PucchConfig
 from .phy.phch.pusch import Pusch
 from .phy.phch.ra_ul import UlGrant
 from .phy.ue.ue_dl import UeDl
@@ -43,7 +50,8 @@ from .ue_stack import UeNas
 SI_RNTI = 0xFFFF
 RA_RNTI = 0x0002
 CFI = 2
-MSG3_GRANT = UlGrant(prb_start=0, n_prb=4, mcs=4)
+MSG3_GRANT = UlGrant(prb_start=1, n_prb=4, mcs=4)
+SR_SF = 3  # SR opportunities at tti % 5 == 3 (sr-ConfigIndex period-5 analog)
 
 
 @dataclass
@@ -90,35 +98,64 @@ class UeApp:
         pd = Pdcch(self.cell, CFI, sf)
         size = format0_1a_size(self.cell.n_prb)
 
-        def decode_pdsch_for(dci):
-            grant = dci.grant(self.cell.n_prb)
+        def decode_pdsch_for(dci, rnti):
+            grant = dci.grant(self.cell.n_prb, rnti)
             pdsch = Pdsch(self.cell, grant, sf, cfi=CFI, rnti=rnti)
             bits, ok = pdsch.decode(grid, ce, info["noise"])
             if not bool(np.asarray(ok)):
                 return None
             return np.packbits(np.asarray(bits)).tobytes()
 
-        # blind searches relevant to the current state
-        rntis = []
+        # blind searches relevant to the current state (cc_worker.cc:383
+        # scope: common space for SI/RA-RNTI, UE-specific + common for the
+        # C-RNTI, formats 0/1A at one payload size and format 1 at another)
+        # LTE gives at most ONE DL assignment and ONE UL grant per RNTI per
+        # TTI; nested candidates can re-detect the same payload at a larger
+        # aggregation level (zero-padded CCEs decode as erasures), so stop
+        # at the first successful decode — ue_dl.c's duplicate filtering.
+        common_rntis = []
         if self.state in ("rach_wait", "rach_sent"):
-            rntis.append(RA_RNTI)
-        if self.crnti:
-            rntis.append(self.crnti)
-        rntis.append(SI_RNTI)
-        for rnti in rntis:
-            for loc, payload in pd.search_all(grid, ce, rnti, size, Ls=(4,)):
+            common_rntis.append(RA_RNTI)
+        common_rntis.append(SI_RNTI)
+        for rnti in common_rntis:
+            for loc, payload in pd.search_all(grid, ce, rnti, size, Ls=(4, 8)):
                 dci1a = unpack_format1a(payload, self.cell.n_prb)
                 if dci1a is not None:
-                    raw = decode_pdsch_for(dci1a)
+                    raw = decode_pdsch_for(dci1a, rnti)
+                    if raw is not None:
+                        self._handle_dlsch(rnti, raw, tti)
+                        break
+        if self.crnti:
+            got_dl = got_ul = False
+            for loc, payload in pd.search(grid, ce, self.crnti, size):
+                dci1a = unpack_format1a(payload, self.cell.n_prb)
+                if dci1a is not None and not got_dl:
+                    raw = decode_pdsch_for(dci1a, self.crnti)
                     if raw is None:
                         continue
-                    self._handle_dlsch(rnti, raw, tti)
-                elif rnti == self.crnti:
+                    self._handle_dlsch(self.crnti, raw, tti)
+                    got_dl = True
+                elif dci1a is None and not got_ul:
                     dci0 = unpack_format0(payload, self.cell.n_prb)
                     if dci0 is not None:
                         self._queue_ul(tti + 4, UlGrant(dci0.rb_start,
                                                         dci0.l_crb,
                                                         dci0.mcs_rv))
+                        got_ul = True
+                if got_dl and got_ul:
+                    break
+            # DCI format 1 (RBG type-0 assignments from the eNB scheduler)
+            # lives at a distinct payload size in the UE-specific space
+            if not got_dl:
+                for loc, payload in pd.search(grid, ce, self.crnti,
+                                              format1_size(self.cell.n_prb),
+                                              include_common=False):
+                    dci1 = unpack_format1(payload, self.cell.n_prb)
+                    if dci1 is not None:
+                        raw = decode_pdsch_for(dci1, self.crnti)
+                        if raw is not None:
+                            self._handle_dlsch(self.crnti, raw, tti)
+                            break
         self.ra.tick()
         self.srb1.tick()
         self.drb1.tick()
@@ -135,6 +172,15 @@ class UeApp:
 
         tx = self.pending_ul.pop(tti, None)
         if tx is None:
+            # SR: connected, data waiting, but no grant anywhere in flight
+            if (tti % 5 == SR_SF and self.crnti and not self.pending_ul
+                    and self.state == "connected"
+                    and (self.srb1.get_buffer_state() > 0
+                         or self.drb1.get_buffer_state() > 0)):
+                pucch = Pucch(self.cell,
+                              PucchConfig("1", n_pucch=self.crnti % 12),
+                              sf_idx=tti % 10)
+                return self.ue_ul.encode_pucch(pucch)
             return None
         if tx.kind == "prach":
             s = prach_gen(self.prach_cfg, tx.preamble)
@@ -153,16 +199,23 @@ class UeApp:
         self.pending_ul[tti] = UlTx(tti, "pusch", grant)
 
     def _build_ul_mac(self, tbs_bytes: int) -> bytes:
+        """Mux the UL-SCH PDU: drain each bearer while the grant has room
+        (mux::pdu_get semantics — a pending RLC STATUS PDU must not displace
+        the queued SDUs when both fit)."""
         pdu = MacPdu(ul=True)
-        n = 0
+        room = tbs_bytes - 6  # BSR CE + its subheader + final padding marker
         for lcid, rlc in ((1, self.srb1), (3, self.drb1)):
-            if rlc.get_buffer_state() > 0:
-                sdu = rlc.read_pdu(tbs_bytes - 12)
-                if sdu:
-                    pdu.add_sdu(lcid, sdu)
-                    n += 1
+            while rlc.get_buffer_state() > 0 and room > 6:
+                sdu = rlc.read_pdu(room - 3)
+                if not sdu:
+                    break
+                pdu.add_sdu(lcid, sdu)
+                room -= len(sdu) + 3
+        # short BSR CE: remaining demand so SchedUl keeps (or stops) granting
+        remaining = self.srb1.get_buffer_state() + self.drb1.get_buffer_state()
+        pdu.add_ce(int(UL_LCID.SHORT_BSR), short_bsr_ce(0, remaining))
         # explicit padding subheader: the parser must not swallow TBS padding
-        return pdu.pack(pdu_len=tbs_bytes) if n else b"\x1f"
+        return pdu.pack(pdu_len=tbs_bytes)
 
     # ---------------- stack --------------------------------------------------
     def _handle_dlsch(self, rnti: int, raw: bytes, tti: int):
