@@ -181,33 +181,45 @@ def _siso_kernel(L: int, T: int, K: int, W: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("L", "T"))
-def siso_windowed_pallas(sys_apr, par, tail_x, tail_z, L: int = 128, T: int = 32):
-    """Drop-in replacement for tdec._siso_windowed (f32 [B, K] in/out).
-
-    K need not be a multiple of L (the last window is partially inactive).
-    """
-    B, K = sys_apr.shape
+@functools.partial(jax.jit, static_argnames=("K", "L", "T"))
+def prepare_windows(x, K: int, L: int = 128, T: int = 32):
+    """[B, K] -> kernel window layout [LT, NP, SUB, LANE] (cacheable: the
+    parity inputs never change across turbo iterations)."""
+    B = x.shape[0]
     W = -(-K // L)
     N = B * W
     LT = L + 2 * T
     n_pad = -(-N // TILE) * TILE
     NP = n_pad // TILE
-
     pos = (np.arange(W) * L)[:, None] + np.arange(-T, L + T)[None, :]  # [W, LT]
     idx = jnp.asarray(np.clip(pos, 0, K - 1).astype(np.int32))
     act = jnp.asarray(((pos >= 0) & (pos < K)).astype(np.float32))[None]
+    g = (x[:, idx] * act).reshape(N, LT).T  # [LT, N]
+    return jnp.pad(g, ((0, 0), (0, n_pad - N))).reshape(LT, NP, SUB, LANE)
 
-    def windows(x):
-        g = (x[:, idx] * act).reshape(N, LT).T  # [LT, N]
-        return jnp.pad(g, ((0, 0), (0, n_pad - N))).reshape(LT, NP, SUB, LANE)
 
-    sa_w, pr_w = windows(sys_apr), windows(par)
-
+@functools.partial(jax.jit, static_argnames=("B", "K", "L", "T"))
+def prepare_beta_init(tail_x, tail_z, B: int, K: int, L: int = 128,
+                      T: int = 32):
+    """Exact tail beta for the last window (cacheable across iterations)."""
+    W = -(-K // L)
+    N = B * W
+    n_pad = -(-N // TILE) * TILE
+    NP = n_pad // TILE
     bK = _tail_beta(tail_x, tail_z)  # [B, 8]
     b0 = jnp.zeros((B, W, 8), jnp.float32).at[:, W - 1].set(bK).reshape(N, 8)
-    b0 = jnp.pad(b0, ((0, n_pad - N), (0, 0))).T.reshape(8, NP, SUB, LANE)
+    return jnp.pad(b0, ((0, n_pad - N), (0, 0))).T.reshape(8, NP, SUB, LANE)
 
+
+@functools.partial(jax.jit, static_argnames=("B", "K", "L", "T"))
+def siso_from_windows(sa_w, pr_w, b0, B: int, K: int, L: int = 128,
+                      T: int = 32):
+    """Run the kernel on pre-built window tensors -> LLRs [B, K]."""
+    W = -(-K // L)
+    N = B * W
+    LT = L + 2 * T
+    n_pad = -(-N // TILE) * TILE
+    NP = n_pad // TILE
     half = (LT - 1) // 2 + 1
     llr = pl.pallas_call(
         _siso_kernel(L, T, K, W),
@@ -231,3 +243,16 @@ def siso_windowed_pallas(sys_apr, par, tail_x, tail_z, L: int = 128, T: int = 32
     )(sa_w, pr_w, b0)
     out = llr.reshape(L, n_pad)[:, :N].reshape(L, B, W).transpose(1, 2, 0)
     return out.reshape(B, W * L)[:, :K]
+
+
+@functools.partial(jax.jit, static_argnames=("L", "T"))
+def siso_windowed_pallas(sys_apr, par, tail_x, tail_z, L: int = 128, T: int = 32):
+    """Drop-in replacement for tdec._siso_windowed (f32 [B, K] in/out).
+
+    K need not be a multiple of L (the last window is partially inactive).
+    """
+    B, K = sys_apr.shape
+    sa_w = prepare_windows(sys_apr, K, L, T)
+    pr_w = prepare_windows(par, K, L, T)
+    b0 = prepare_beta_init(tail_x, tail_z, B, K, L, T)
+    return siso_from_windows(sa_w, pr_w, b0, B, K, L, T)

@@ -174,9 +174,25 @@ def rm_conv_tx(coded, e: int):
     return coded[..., idx]
 
 
+@functools.lru_cache(maxsize=None)
+def _rm_conv_rx_inverse(coded_len: int, e: int):
+    """Inverse of rm_conv_indices as a gather table [coded_len, R]
+    (-1 padded) — XLA lowers scatter-add to slow serialized updates, so
+    repetition combining becomes a masked gather-sum."""
+    idx = rm_conv_indices(coded_len, e)
+    counts = np.bincount(idx, minlength=coded_len)
+    r = max(1, int(counts.max()))
+    inv = np.full((coded_len, r), -1, np.int64)
+    fill = np.zeros(coded_len, np.int64)
+    for j, pos in enumerate(idx):
+        inv[pos, fill[pos]] = j
+        fill[pos] += 1
+    return inv.astype(np.int32), (inv >= 0).astype(np.float32)
+
+
 def rm_conv_rx(e_llr, coded_len: int):
     import jax.numpy as jnp
 
-    idx = jnp.asarray(rm_conv_indices(coded_len, e_llr.shape[-1]))
-    out = jnp.zeros(e_llr.shape[:-1] + (coded_len,), e_llr.dtype)
-    return out.at[..., idx].add(e_llr)
+    inv, mask = _rm_conv_rx_inverse(coded_len, e_llr.shape[-1])
+    gathered = e_llr[..., jnp.asarray(np.maximum(inv, 0))]
+    return jnp.sum(gathered * jnp.asarray(mask), axis=-1).astype(e_llr.dtype)

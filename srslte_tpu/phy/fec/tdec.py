@@ -250,7 +250,7 @@ def _pallas_ok() -> bool:
 
 
 def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0,
-                 backend: str = "auto"):
+                 backend: str = "auto", apr0=None, return_state: bool = False):
     """Decode a batch: dcat_llr [B, 3*(K+4)] -> (hard bits [B, K] uint8, llr [B, K]).
 
     dcat layout per turbo.turbo_encode_np.  Jittable; static (k, n_iter).
@@ -258,6 +258,11 @@ def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0,
     K >= 256, sequential depth L+32 instead of K); None = full-length scans.
     backend: "auto" (Pallas VMEM kernel on TPU, XLA scans elsewhere),
     "xla", or "pallas".
+    apr0: optional decoder-1 a-priori state [B, K] from a previous call —
+    WARM START: `turbo_decode(x, k, m, apr0=s)` after `..., n, return_state
+    =True` equals a single (n+m)-iteration decode (the reference's
+    early-stopping decoder keeps iterating the same state, tdec run_all).
+    return_state: also return the apr state for later resumption.
     """
     import jax.numpy as jnp
 
@@ -286,16 +291,40 @@ def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0,
     pi = jnp.asarray(qpp_perm(k))
     pi_inv = jnp.asarray(qpp_perm_inv(k))
 
-    apr1 = jnp.zeros_like(sys)
+    import os as _os
+    if (use_pallas and window and sys.ndim == 2
+            and _os.environ.get('SRSLTE_TPU_SISO_CACHE', '1') != '0'):
+        # cache the parity windows and tail-beta inits across iterations —
+        # only the systematic+apriori windows change per half-iteration
+        from ...ops.tdec_pallas import (prepare_beta_init, prepare_windows,
+                                        siso_from_windows)
+
+        B = sys.shape[0]
+        L = window
+        pr1_w = prepare_windows(par1, k, L, 32)
+        pr2_w = prepare_windows(par2, k, L, 32)
+        b01 = prepare_beta_init(t1x, t1z, B, k, L, 32)
+        b02 = prepare_beta_init(t2x, t2z, B, k, L, 32)
+        siso1 = lambda sa: siso_from_windows(
+            prepare_windows(sa, k, L, 32), pr1_w, b01, B, k, L, 32)
+        siso2 = lambda sa: siso_from_windows(
+            prepare_windows(sa, k, L, 32), pr2_w, b02, B, k, L, 32)
+    else:
+        siso1 = lambda sa: siso(sa, par1, t1x, t1z)
+        siso2 = lambda sa: siso(sa, par2, t2x, t2z)
+
+    apr1 = jnp.zeros_like(sys) if apr0 is None else apr0
     post = sys
     for _ in range(n_iter):
-        llr1 = siso(sys + apr1, par1, t1x, t1z)
+        llr1 = siso1(sys + apr1)
         ext1 = llr1 - sys - apr1
         in2 = (sys + ext1)[..., pi]
-        llr2 = siso(in2, par2, t2x, t2z)
+        llr2 = siso2(in2)
         ext2 = llr2 - in2
         apr1 = ext2[..., pi_inv]
         # llr2 deinterleaved = sys + ext1 + ext2: the full posterior
         post = llr2[..., pi_inv]
     hard = (post > 0).astype(jnp.uint8)
+    if return_state:
+        return hard, post, apr1
     return hard, post

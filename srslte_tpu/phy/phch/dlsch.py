@@ -105,6 +105,46 @@ def dlsch_encode(bits, cfg: DlschConfig):
     return jnp.concatenate(out, axis=-1).astype(jnp.uint8)
 
 
+def _derm_clusters(llr, cfg: DlschConfig):
+    """De-rate-match ALL code blocks sharing a K in one gather.
+
+    Returns [(K, f0, w [..., C, 3*(K+4)])] in transport-block order.  The
+    per-CB inverse maps (different E, offsets into the concatenated llr,
+    fillers) are folded into one constant index tensor so a whole TB needs
+    one gather + one turbo batch per distinct K (36.212 orders K- blocks
+    before K+, so cluster concatenation preserves TB order).
+    """
+    import jax.numpy as jnp
+
+    clusters: dict[int, list] = {}
+    pos = 0
+    for g in cfg.groups:
+        for i in range(g.count):
+            f = g.F if (g.first_r == 0 and i == 0) else 0
+            clusters.setdefault(g.K, []).append((pos, g.E, f))
+            pos += g.E
+    out = []
+    for K, cbs in clusters.items():
+        J = 3 * (K + 4)
+        invs = []
+        for (off, E, f) in cbs:
+            inv, r = turbo._rm_rx_inverse(K, E, cfg.rv, f, None)
+            invs.append((off, inv, f))
+        rmax = max(i.shape[1] for _, i, _ in invs)
+        IDX = np.zeros((len(cbs), J, rmax), np.int32)
+        MASK = np.zeros((len(cbs), J, rmax), np.float32)
+        FILL = np.zeros((len(cbs), J), np.float32)
+        for c, (off, inv, f) in enumerate(invs):
+            r = inv.shape[1]
+            IDX[c, :, :r] = off + np.maximum(inv, 0)
+            MASK[c, :, :r] = inv >= 0
+            if f > 0:
+                FILL[c, :f] = -1e4  # d0 fillers are known zeros
+        w = jnp.sum(llr[..., jnp.asarray(IDX)] * jnp.asarray(MASK), axis=-1)
+        out.append((K, cbs[0][2], w + jnp.asarray(FILL)))
+    return out
+
+
 def dlsch_decode(llr, cfg: DlschConfig, n_iter: int = 5, early: int = 1,
                  compact_frac: int = 8):
     """llr [..., G] (positive ⇒ bit 1) -> (bits [..., tbs] uint8, crc_ok [...]).
@@ -133,47 +173,72 @@ def dlsch_decode(llr, cfg: DlschConfig, n_iter: int = 5, early: int = 1,
     seg = cfg.seg
     batch = llr.shape[:-1]
     parts, ok_parts = [], []
-    pos = 0
-    for g in cfg.groups:
-        block = llr[..., pos : pos + g.count * g.E]
-        pos += g.count * g.E
-        e = block.reshape(batch + (g.count, g.E))
-        w = turbo.rm_rx(e, g.K, rv=cfg.rv, f=g.F)
+    # cascade: early -> +1 -> compacted rest.  Measured at the benchmark
+    # operating point (16 dB, rate-0.92 64QAM): CB failure is ~99% after 1
+    # iteration but ~5% after 2, so one extra full-batch iteration puts the
+    # survivors inside the compact capacity and the remaining n_iter-2
+    # iterations run on ~1/compact_frac of the blocks.
+    mid = min(n_iter, early + 1)
+    for K, f0, w in _derm_clusters(llr, cfg):
+        # w [..., C, 3(K+4)]: all same-K code blocks decode as ONE batch —
+        # 36.212 bit selection usually splits a TB into two E sizes, and
+        # separate per-E decodes would double every kernel/cascade instance
+        count = w.shape[-2]
         flat = w.reshape((-1, w.shape[-1]))  # [Ng, 3(K+4)]
-        ng = int(np.prod(batch)) * g.count
-        hard1, _ = turbo_decode(flat, g.K, n_iter=early)
+        ng = int(np.prod(batch)) * count
 
         if seg.C > 1:
-            pb, po = crcmod.LTE_CRC24B
-            ok1 = crcmod.crc_ok_device(hard1, pb, po)  # [Ng]
+            cpoly, corder = crcmod.LTE_CRC24B
+            cb_ok = lambda h: crcmod.crc_ok_device(h, cpoly, corder)
         else:
-            pa, oa = crcmod.LTE_CRC24A
-            ok1 = crcmod.crc_ok_device(hard1[..., g.F :], pa, oa)
-
+            cpoly, corder = crcmod.LTE_CRC24A
+            cb_ok = lambda h, f0=f0: crcmod.crc_ok_device(h[..., f0:], cpoly,
+                                                          corder)
         cap = max(1, -(-ng // compact_frac))
-        order = jnp.argsort(ok1.astype(jnp.int32), stable=True)  # fails first
-        idx = order[:cap]
-        nfail = jnp.sum(jnp.logical_not(ok1))
 
-        def retry_compact(flat=flat, hard1=hard1, ok1=ok1, idx=idx, g=g):
-            hard2, _ = turbo_decode(flat[idx], g.K, n_iter=n_iter)
-            keep = ok1[idx][:, None]  # already-good rows keep phase-1 bits
-            return hard1.at[idx].set(jnp.where(keep, hard1[idx], hard2))
+        # phase 1: `early` iterations on everything (clean channels exit here)
+        hard1, _, apr1 = turbo_decode(flat, K, n_iter=early,
+                                      return_state=True)
+        ok1 = cb_ok(hard1)
 
-        def retry_full(flat=flat, g=g):
-            return turbo_decode(flat, g.K, n_iter=n_iter)[0]
+        def phases23(flat=flat, hard1=hard1, ok1=ok1, apr1=apr1, K=K):
+            # phase 2: resume the SAME decoder state for mid-early more
+            # iterations (warm start — equals a `mid`-iteration decode)
+            hard2, _, apr2 = turbo_decode(flat, K, n_iter=mid - early,
+                                          apr0=apr1, return_state=True)
+            if mid >= n_iter:
+                return hard2
+            ok2 = cb_ok(hard2)
+            order = jnp.argsort(ok2.astype(jnp.int32), stable=True)
+            idx = order[:cap]
+            nfail = jnp.sum(jnp.logical_not(ok2))
 
-        hard = jax.lax.cond(
-            nfail == 0, lambda: hard1,
-            lambda: jax.lax.cond(nfail <= cap, retry_compact, retry_full))
-        hard = hard.reshape(batch + (g.count, g.K))
+            def compact():
+                # phase 3: survivors only, resumed, to the full n_iter
+                hard3, _ = turbo_decode(flat[idx], K, n_iter=n_iter - mid,
+                                        apr0=apr2[idx])
+                keep = ok2[idx][:, None]
+                return hard2.at[idx].set(jnp.where(keep, hard2[idx], hard3))
+
+            def full():
+                return turbo_decode(flat, K, n_iter=n_iter - mid,
+                                    apr0=apr2)[0]
+
+            return jax.lax.cond(
+                nfail == 0, lambda: hard2,
+                lambda: jax.lax.cond(nfail <= cap, compact, full))
+
+        hard = jax.lax.cond(jnp.all(ok1), lambda: hard1, phases23)
+        hard = hard.reshape(batch + (count, K))
+        cb_crc = 24 if seg.C > 1 else 0
         if seg.C > 1:
             pb, po = crcmod.LTE_CRC24B
             ok_parts.append(crcmod.crc_ok_device(hard, pb, po))
-            payload = hard[..., g.F : g.K - 24]
-        else:
-            payload = hard[..., g.F :]
-        parts.append(payload.reshape(batch + (g.count * g.data_bits,)))
+        # per-CB payload extraction: only the first CB of the TB carries
+        # filler bits (f0 applies to cluster-local CB 0 iff it is TB CB 0)
+        for c in range(count):
+            f_c = f0 if c == 0 else 0
+            parts.append(hard[..., c, f_c : K - cb_crc])
 
     b = jnp.concatenate(parts, axis=-1)  # [..., tbs+24]
     pa, oa = crcmod.LTE_CRC24A

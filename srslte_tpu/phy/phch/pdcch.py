@@ -175,6 +175,27 @@ class Pdcch:
         ok = crc_ok_device(bits, *LTE_CRC16, rnti_mask=rnti_mask_arr)
         return ok, bits[:, :payload_len]
 
+    @lazy_jit(static_argnums=(0, 3, 4))
+    def _decode_mixed_traced(self, grid, ce, locs_by_L: tuple,
+                             payload_len: int, rnti_mask_arr):
+        """Blind-decode candidates at MIXED aggregation levels in one shot.
+
+        locs_by_L: tuple of per-L tuples.  All candidates de-rate-match to
+        the same 3*(payload+16) coded length, so a single Viterbi batch
+        covers every aggregation level (vs one sequential ACS scan per L).
+        Returns (ok [ncand_total], bits [ncand_total, payload_len]) in
+        the concatenated candidate order.
+        """
+        import jax.numpy as jnp
+
+        n_coded = 3 * (payload_len + 16)
+        derms = [rm_conv_rx(self._llrs(grid, ce, list(group)), n_coded)
+                 for group in locs_by_L if group]
+        de_rm = jnp.concatenate(derms, axis=0)
+        bits = viterbi_decode(de_rm, payload_len + 16)
+        ok = crc_ok_device(bits, *LTE_CRC16, rnti_mask=rnti_mask_arr)
+        return ok, bits[:, :payload_len]
+
     def all_locations(self, Ls=(4, 8)) -> tuple:
         """Every aligned candidate at the given aggregation levels."""
         locs = []
@@ -187,21 +208,18 @@ class Pdcch:
         traced CRC mask, so any number of RNTIs share one compilation."""
         import jax.numpy as jnp
 
-        hits = []
-        for L in Ls:
-            group = tuple(Location(c, L)
-                          for c in range(0, self.n_cce - L + 1, L))
-            if not group:
-                continue
-            mask = jnp.asarray(rnti_mask(rnti))
-            ok, bits = self._decode_candidates_traced(grid, ce, group,
-                                                      payload_len, mask)
-            ok = np.asarray(ok)
-            bits = np.asarray(bits)
-            for i, l in enumerate(group):
-                if ok[i]:
-                    hits.append((l, bits[i]))
-        return hits
+        groups = tuple(tuple(Location(c, L)
+                             for c in range(0, self.n_cce - L + 1, L))
+                       for L in Ls)
+        flat = [l for g in groups for l in g]
+        if not flat:
+            return []
+        mask = jnp.asarray(rnti_mask(rnti))
+        ok, bits = self._decode_mixed_traced(grid, ce, groups, payload_len,
+                                             mask)
+        ok = np.asarray(ok)
+        bits = np.asarray(bits)
+        return [(l, bits[i]) for i, l in enumerate(flat) if ok[i]]
 
     def search(self, grid, ce, rnti: int, payload_len: int,
                include_common: bool = True):
@@ -209,18 +227,21 @@ class Pdcch:
 
         Batches one device dispatch per aggregation-level bucket (<=4).
         """
+        import jax.numpy as jnp
+
         locs = ue_locations(self.n_cce, rnti, self.sf_idx)
         if include_common:
             for l in common_locations(self.n_cce):
                 if l not in locs:
                     locs.append(l)
-        hits = []
-        for L in sorted({l.L for l in locs}):
-            group = tuple(l for l in locs if l.L == L)
-            ok, bits = self.decode_candidates(grid, ce, group, payload_len, rnti)
-            ok = np.asarray(ok)
-            bits = np.asarray(bits)
-            for i, l in enumerate(group):
-                if ok[i]:
-                    hits.append((l, bits[i]))
-        return hits
+        groups = tuple(tuple(l for l in locs if l.L == L)
+                       for L in sorted({l.L for l in locs}))
+        flat = [l for g in groups for l in g]
+        if not flat:
+            return []
+        mask = jnp.asarray(rnti_mask(rnti))
+        ok, bits = self._decode_mixed_traced(grid, ce, groups, payload_len,
+                                             mask)
+        ok = np.asarray(ok)
+        bits = np.asarray(bits)
+        return [(l, bits[i]) for i, l in enumerate(flat) if ok[i]]
