@@ -255,7 +255,7 @@ class EnbApp:
         self.ues[crnti] = ue
         mac3 = MacPdu.parse(raw, ul=True)
         ccch = next(s for s in mac3.subpdus if s.lcid == int(UL_LCID.CCCH))
-        req = rrc_unpack(ccch.payload)
+        req = rrc_unpack(ccch.payload, "ul_ccch")
         assert isinstance(req, ConnectionRequest)
         # msg4: contention-resolution CE (echo of the CCCH SDU head) +
         # ConnectionSetup on SRB0
@@ -313,7 +313,7 @@ class EnbApp:
                                             ea=EEA2), k_up, is_ue=False)
 
     def _handle_rrc_ul(self, ue: EnbUe, raw: bytes):
-        msg = rrc_unpack(raw)
+        msg = rrc_unpack(raw, "ul_dcch")
         if isinstance(msg, ConnectionSetupComplete):
             ue.rrc_state = "connected"
             self._nas_dl(ue, msg.nas_pdu)

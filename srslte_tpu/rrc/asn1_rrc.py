@@ -517,11 +517,39 @@ RRC_CONNECTION_RELEASE = seq(
              seq(F("release_cause",
                    enum("load_balancing_ta_urequired", "other",
                         "cs_fallback_high_prio_v1020", "rrc_suspend_v1320")),
-                 F("redirected_carrier_info", OctStr(), optional=True),
+                 F("redirected_carrier_info",
+                   choice(("eutra", Int(0, 65535)),
+                          ("geran", seq(ext=True)),
+                          ("utra_fdd", Int(0, 16383)),
+                          ("utra_tdd", Int(0, 16383)),
+                          ("cdma2000_hrpd", seq(ext=True)),
+                          ("cdma2000_1xrtt", seq(ext=True)), ext=True),
+                   optional=True),
                  F("idle_mode_mob_ctrl_info", OctStr(), optional=True),
                  F("non_crit_ext", seq(), optional=True))),
             *[(s, Null()) for s in _spares(3)])),
         ("crit_exts_future", seq()))))
+
+# --------------------------------------------------------------------- PCCH
+
+PAGING_UE_IDENTITY = choice(
+    ("s_tmsi", S_TMSI),
+    ("imsi", SeqOf(Int(0, 9), 6, 21)), ext=True)
+
+PAGING_RECORD = seq(
+    F("ue_id", PAGING_UE_IDENTITY),
+    F("cn_domain", enum("ps", "cs")),
+    ext=True)
+
+PAGING = seq(
+    F("paging_record_list", SeqOf(PAGING_RECORD, 1, 16), optional=True),
+    F("sys_info_mod", enum("true"), optional=True),
+    F("etws_ind", enum("true"), optional=True),
+    F("non_crit_ext", seq(), optional=True))
+
+PCCH_MESSAGE = seq(F("msg", choice(
+    ("c1", choice(("paging", PAGING))),
+    ("msg_class_ext", seq()))))
 
 # --------------------------------------------------------------------- BCCH
 

@@ -220,7 +220,7 @@ class UeApp:
     # ---------------- stack --------------------------------------------------
     def _handle_dlsch(self, rnti: int, raw: bytes, tti: int):
         if rnti == SI_RNTI:
-            msg = rrc_unpack(raw)  # unpack_body slices its fixed fields
+            msg = rrc_unpack(raw, "bcch")
             if isinstance(msg, Sib1):
                 self.sib1 = msg
             return
@@ -244,7 +244,7 @@ class UeApp:
                 if self.ra.rx_msg4(MacPdu(subpdus=[s]).pack()):
                     self.state = "connected"
             elif s.lcid == 0:
-                self._handle_rrc(rrc_unpack(s.payload))
+                self._handle_rrc(rrc_unpack(s.payload, "dl_ccch"))
             elif s.lcid == 1:
                 self.srb1.write_pdu(s.payload)
             elif s.lcid == 3:
@@ -255,7 +255,7 @@ class UeApp:
                 sdu = self.pdcp1.rx(sdu)
                 if sdu is None:
                     continue
-            self._handle_rrc(rrc_unpack(sdu))
+            self._handle_rrc(rrc_unpack(sdu, "dl_dcch"))
         for sdu in self.drb1.rx_sdus[:]:
             self.drb1.rx_sdus.remove(sdu)
             if self.pdcp_drb is not None:

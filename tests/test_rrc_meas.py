@@ -68,9 +68,11 @@ def test_rrc_paging_and_release_codec():
                                          rrc_unpack)
 
     p = Paging(records=(0xDEAD0001, 0xBEEF0002))
-    out = rrc_unpack(rrc_pack(p))
+    out = rrc_unpack(rrc_pack(p), "pcch")
     assert out.records == (0xDEAD0001, 0xBEEF0002)
-    assert rrc_unpack(rrc_pack(Paging())).records == ()
-    r = rrc_unpack(rrc_pack(ConnectionRelease(cause=2,
-                                              redirect_earfcn=3400)))
-    assert r.cause == 2 and r.redirect_earfcn == 3400
+    assert rrc_unpack(rrc_pack(Paging()), "pcch").records == ()
+    r = rrc_unpack(rrc_pack(ConnectionRelease(
+        cause="cs_fallback_high_prio_v1020", redirect_earfcn=3400)),
+        "dl_dcch")
+    assert r.cause == "cs_fallback_high_prio_v1020"
+    assert r.redirect_earfcn == 3400
