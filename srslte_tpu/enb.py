@@ -15,6 +15,16 @@ DCI-0 allocator.  UL demand reaches the scheduler the reference way:
 PUCCH format-1 scheduling requests when the UE holds no grant, then BSR
 control elements piggybacked on PUSCH.
 
+Multi-cell: the eNB serves any number of cells (per-cell PHY + scheduler +
+RACH, shared RRC/stack — srsenb's cc_worker-per-carrier layout), enabling
+measurement-report-driven intra-eNB handover (rrc_mobility.cc analog):
+A3 MeasurementReport -> RRCConnectionReconfiguration with
+mobilityControlInfo (dedicated preamble, new C-RNTI) -> contention-free
+RACH on the target cell -> ReconfigurationComplete.  RLF recovery:
+RRCConnectionReestablishmentRequest (C-RNTI + PCI + ShortMAC-I verified
+against the stored context) re-anchors the UE on any of our cells with
+PDCP/RLC continuity (srsenb rrc.cc reestablishment path).
+
 Channel conventions shared with UeApp (both sides derive them from the cell
 config, like the reference's sib/rr configs): CFI 2, PRACH in subframes with
 tti % 10 == 1, msg3 grant fixed (carried in the RAR), SR opportunities at
@@ -45,11 +55,15 @@ from .phy.phch.pusch import Pusch
 from .phy.phch.ra import DlGrant
 from .phy.phch.ra_ul import UlGrant
 from .rlc import RlcAm, RlcTm
+from .rrc.mobility import short_mac_i
 from .rrc.messages import (ConnectionReconfiguration, ConnectionRequest,
                            ConnectionSetup, ConnectionSetupComplete,
-                           DlInformationTransfer, RrcSecurityModeCommand,
-                           RrcSecurityModeComplete, Sib1,
-                           UlInformationTransfer,
+                           DlInformationTransfer, MeasConfigA3,
+                           MeasurementReportMsg, MobilityControl,
+                           Reestablishment, ReestablishmentComplete,
+                           ReestablishmentReject, ReestablishmentRequest,
+                           RrcSecurityModeCommand, RrcSecurityModeComplete,
+                           Sib1, UlInformationTransfer,
                            ConnectionReconfigurationComplete,
                            rrc_pack, rrc_unpack)
 
@@ -59,11 +73,13 @@ CFI = 2
 MSG3_GRANT = UlGrant(prb_start=1, n_prb=4, mcs=4)
 SR_SF = 3  # SR opportunities at tti % 5 == 3, PUCCH f1 n_pucch = crnti % 12
 SR_GRANT_BYTES = 64  # nominal demand an SR conveys until a BSR refines it
+HO_PREAMBLE = 60  # dedicated preamble pool base for contention-free RACH
 
 
 @dataclass
 class EnbUe:
     crnti: int
+    pci: int = 0  # serving cell
     srb0: RlcTm = field(default_factory=RlcTm)
     srb1: RlcAm = field(default_factory=RlcAm)
     drb1: RlcAm = field(default_factory=RlcAm)
@@ -73,25 +89,53 @@ class EnbUe:
     ue_id: int = 0
     pending_ce: bytes | None = None  # contention-resolution CE for msg4
     rx_data: list = field(default_factory=list)  # deciphered DRB SDUs
+    ho_pending: bool = False  # HO command sent, awaiting CFRA + complete
+    ho_target: tuple | None = None  # (target_pci, new_crnti)
+    meas_cfg_sent: bool = False
+
+
+@dataclass
+class _Cc:
+    """Per-cell carrier state (srsenb cc_worker + per-carrier scheduler)."""
+
+    cell: Cell
+    enb_dl: EnbDl
+    enb_ul: EnbUl
+    prach_cfg: PrachConfig
+    rach: EnbRach
+    sched_dl: SchedDl
+    sched_ul: SchedUl
+    pending_rar: bytes | None = None
+    ul_expect: dict = field(default_factory=dict)  # tti -> [(crnti, g, m3)]
+    sfn: int = 0
 
 
 class EnbApp:
-    def __init__(self, cell: Cell, mme=None, mcs_dl: int = 5):
-        self.cell = cell
+    def __init__(self, cells, mme=None, mcs_dl: int = 5,
+                 neighbor_meas: bool = False):
+        cells = [cells] if isinstance(cells, Cell) else list(cells)
+        self.ccs: dict[int, _Cc] = {}
+        for i, c in enumerate(cells):
+            self.ccs[c.id] = _Cc(
+                cell=c, enb_dl=EnbDl(c), enb_ul=EnbUl(c),
+                prach_cfg=PrachConfig(c.ofdm, zero_corr_cfg=7),
+                rach=EnbRach(next_crnti=0x46 + 0x100 * i),
+                sched_dl=SchedDl(c, cfi=CFI), sched_ul=SchedUl(c, cfi=CFI))
+        self.cell = cells[0]
         self.mme = mme
         self.mcs_dl = mcs_dl
-        self.enb_dl = EnbDl(cell)
-        self.enb_ul = EnbUl(cell)
-        self.prach_cfg = PrachConfig(cell.ofdm, zero_corr_cfg=7)
-        self.rach = EnbRach()
-        self.sched_dl = SchedDl(cell, cfi=CFI)
-        self.sched_ul = SchedUl(cell, cfi=CFI)
+        self.neighbor_meas = neighbor_meas or len(cells) > 1
         self.ues: dict[int, EnbUe] = {}
-        self.pending_rar: bytes | None = None
-        self.ul_expect: dict[int, list] = {}  # tti -> [(crnti, grant, is_msg3)]
-        self.sfn = 0
         self._next_ue_id = 1
         self._pending_nas: dict = {}
+
+    # -- single-cell compatibility views ----------------------------------
+    @property
+    def _cc0(self) -> _Cc:
+        return self.ccs[self.cell.id]
+
+    def _cc_of(self, pci: int | None) -> _Cc:
+        return self.ccs[self.cell.id if pci is None else pci]
 
     # ---------------- DL ----------------------------------------------------
     def _dl_buffer_bytes(self, ue: EnbUe) -> int:
@@ -102,19 +146,20 @@ class EnbApp:
             n += 7  # CE + subheader
         return n + (4 if n else 0)  # MAC subheader slack
 
-    def tx_subframe(self, tti: int):
+    def tx_subframe(self, tti: int, pci: int | None = None):
         import jax.numpy as jnp
 
+        cc = self._cc_of(pci)
         sf = tti % 10
-        g = self.enb_dl.put_base(self.enb_dl.empty_grids(), sf)
+        g = cc.enb_dl.put_base(cc.enb_dl.empty_grids(), sf)
         if sf == 0:
-            g = self.enb_dl.put_pbch(g, Mib(self.cell.n_prb, "norm", "1",
-                                            self.sfn))
-        g = self.enb_dl.put_pcfich(g, sf, CFI)
+            g = cc.enb_dl.put_pbch(g, Mib(cc.cell.n_prb, "norm", "1",
+                                          cc.sfn))
+        g = cc.enb_dl.put_pcfich(g, sf, CFI)
 
         def put_dlsch(rnti, grant, loc, dci_bits, payload):
             nonlocal g
-            pdsch = Pdsch(self.cell, grant, sf, cfi=CFI, rnti=rnti)
+            pdsch = Pdsch(cc.cell, grant, sf, cfi=CFI, rnti=rnti)
             tbs_bytes = grant.tbs // 8
             if isinstance(payload, MacPdu):
                 # pad via an explicit padding subheader so the parser can
@@ -124,15 +169,15 @@ class EnbApp:
                 raise ValueError("DL payload exceeds TBS")
             raw = payload + bytes(tbs_bytes - len(payload))
             bits = np.unpackbits(np.frombuffer(raw, np.uint8))[: grant.tbs]
-            g = self.enb_dl.put_pdcch(g, sf, CFI, dci_bits, rnti, loc)
-            g = self.enb_dl.put_pdsch(g, pdsch, jnp.asarray(bits))
+            g = cc.enb_dl.put_pdcch(g, sf, CFI, dci_bits, rnti, loc)
+            g = cc.enb_dl.put_pdsch(g, pdsch, jnp.asarray(bits))
 
         # -- broadcast requests for this TTI (bc_sched/ra_sched analog) ------
         bc_requests = []
         bc_payloads = {}
-        if self.pending_rar is not None:
-            bc_requests.append((RA_RNTI, len(self.pending_rar), 0))
-            bc_payloads[RA_RNTI] = self.pending_rar
+        if cc.pending_rar is not None:
+            bc_requests.append((RA_RNTI, len(cc.pending_rar), 0))
+            bc_payloads[RA_RNTI] = cc.pending_rar
         if tti % 40 == 5:  # SIB1 broadcast window
             sib = rrc_pack(Sib1())
             bc_requests.append((SI_RNTI, len(sib), 0))
@@ -140,24 +185,33 @@ class EnbApp:
 
         # -- DL buffer states into the scheduler -----------------------------
         for crnti, ue in self.ues.items():
-            if crnti not in self.sched_dl.ues:
-                self.sched_dl.add_ue(crnti)
-            self.sched_dl.buffer_state(crnti, self._dl_buffer_bytes(ue))
+            if ue.pci != cc.cell.id or crnti != ue.crnti:
+                continue
+            if crnti not in cc.sched_dl.ues:
+                cc.sched_dl.add_ue(crnti)
+            # during handover only control (the HO command on SRB1) drains;
+            # DRB data is held until ReconfigurationComplete on the target
+            n = ue.srb0.get_buffer_state() + ue.srb1.get_buffer_state()
+            if not ue.ho_pending:
+                n += ue.drb1.get_buffer_state()
+            if ue.pending_ce is not None:
+                n += 7
+            cc.sched_dl.buffer_state(crnti, n + (4 if n else 0))
 
-        bc_allocs, dl_allocs = self.sched_dl.schedule_sf(tti, bc_requests)
-        self.sched_dl.check_invariants(dl_allocs)
+        bc_allocs, dl_allocs = cc.sched_dl.schedule_sf(tti, bc_requests)
+        cc.sched_dl.check_invariants(dl_allocs)
 
         for a in bc_allocs:
             put_dlsch(a.rnti, a.grant, a.loc,
-                      pack_format1a(a.dci, self.cell.n_prb),
+                      pack_format1a(a.dci, cc.cell.n_prb),
                       bc_payloads[a.rnti])
             if a.rnti == RA_RNTI:
-                # msg3 PUSCH 4 TTIs out for the newest temp C-RNTI (grant
-                # carried in the RAR payload)
-                crnti = self.rach.next_crnti - 1
-                self.ul_expect.setdefault(tti + 4, []).append(
+                # msg3 PUSCH 4 TTIs out for the RAR's C-RNTI (grant carried
+                # in the RAR payload)
+                crnti = cc.rach.last_rar_crnti
+                cc.ul_expect.setdefault(tti + 4, []).append(
                     (crnti, MSG3_GRANT, True))
-                self.pending_rar = None
+                cc.pending_rar = None
 
         # -- per-UE DL data: mux MAC PDUs to the scheduled TBS ---------------
         from .phy.phch.dci import pack_format1
@@ -171,75 +225,91 @@ class EnbApp:
                 pdu.add_ce(int(DL_LCID.CON_RES_ID), ue.pending_ce)
                 ue.pending_ce = None
                 n += 1
-            for lcid, rlc in ((0, ue.srb0), (1, ue.srb1), (3, ue.drb1)):
-                if rlc.get_buffer_state() > 0:
-                    sdu = rlc.read_pdu(tbs_bytes - 12)
+            bearers = ((0, ue.srb0), (1, ue.srb1)) if ue.ho_pending else \
+                ((0, ue.srb0), (1, ue.srb1), (3, ue.drb1))
+            # sequential budget: each subPDU costs its payload plus a <=3
+            # byte MAC subheader (mac_sch_pdu assembly in the reference);
+            # a blanket margin would starve RLC at small TBS and stall the
+            # tail segment of an SRB message forever
+            used = 7 if n else 0  # contention-resolution CE + subheader
+            for lcid, rlc in bearers:
+                avail = tbs_bytes - used - 3
+                if avail >= 3 and rlc.get_buffer_state() > 0:
+                    sdu = rlc.read_pdu(avail)
                     if sdu:
                         pdu.add_sdu(lcid, sdu)
+                        used += len(sdu) + 3
                         n += 1
             if not n:
                 continue
             put_dlsch(a.rnti, a.grant, a.loc,
-                      pack_format1(a.dci, self.cell.n_prb), pdu)
+                      pack_format1(a.dci, cc.cell.n_prb), pdu)
 
         # -- UL grants: BSR/SR-driven through SchedUl ------------------------
-        used_cce = np.zeros(Pdcch(self.cell, CFI, sf).n_cce, bool)
+        used_cce = np.zeros(Pdcch(cc.cell, CFI, sf).n_cce, bool)
         for a in bc_allocs + dl_allocs:
             used_cce[a.loc.cce : a.loc.cce + a.loc.L] = True
-        for a in self.sched_ul.schedule(tti, used_cce=used_cce):
+        for a in cc.sched_ul.schedule(tti, used_cce=used_cce):
             dci0 = Dci0(rb_start=a.prb_start, l_crb=a.n_prb, mcs_rv=a.mcs)
-            g = self.enb_dl.put_pdcch(g, sf, CFI,
-                                      pack_format0(dci0, self.cell.n_prb),
-                                      a.rnti, a.loc)
-            self.ul_expect.setdefault(tti + 4, []).append(
+            g = cc.enb_dl.put_pdcch(g, sf, CFI,
+                                    pack_format0(dci0, cc.cell.n_prb),
+                                    a.rnti, a.loc)
+            cc.ul_expect.setdefault(tti + 4, []).append(
                 (a.rnti, UlGrant(a.prb_start, a.n_prb, a.mcs), False))
 
         if sf == 9:
-            self.sfn = (self.sfn + 1) % 1024
-        return self.enb_dl.gen_signal(g)[..., 0, :]
+            cc.sfn = (cc.sfn + 1) % 1024
+        return cc.enb_dl.gen_signal(g)[..., 0, :]
 
     # ---------------- UL ----------------------------------------------------
-    def rx_subframe(self, samples, tti: int):
+    def rx_subframe(self, samples, tti: int, pci: int | None = None):
         """samples: PRACH window (tti%10==1), PUCCH/PUSCH subframe, or None."""
+        cc = self._cc_of(pci)
+        is_last_cc = pci is None or pci == list(self.ccs)[-1]
         if samples is None:
-            self._tick()
+            if is_last_cc:
+                self._tick()
             return
-        expected = self.ul_expect.pop(tti, [])
+        expected = cc.ul_expect.pop(tti, [])
         if tti % 10 == 1 and not expected:
-            det, metric, toff = prach_detect(self.prach_cfg, samples)
+            det, metric, toff = prach_detect(cc.prach_cfg, samples)
             det = np.asarray(det)
             if det.any():
                 idx = np.where(det)[0].tolist()
                 tas = [int(np.asarray(toff)[i]) for i in idx]
-                self.pending_rar = self.rach.rach_detected(idx, tas)
-            self._tick()
+                cc.pending_rar = cc.rach.rach_detected(idx, tas)
+            if is_last_cc:
+                self._tick()
             return
         for crnti, grant, is_msg3 in expected:
-            pusch = Pusch(self.cell, grant, tti % 10, rnti=crnti)
-            bits, ok, _ = self.enb_ul.decode_pusch(samples, pusch)
+            pusch = Pusch(cc.cell, grant, tti % 10, rnti=crnti)
+            bits, ok, _ = cc.enb_ul.decode_pusch(samples, pusch)
             if not bool(np.asarray(ok)):
                 continue
             raw = np.packbits(np.asarray(bits)).tobytes()
             if is_msg3:
-                self._handle_msg3(crnti, raw)
+                self._handle_msg3(cc, crnti, raw)
             else:
-                self._handle_ul_mac(crnti, raw)
+                self._handle_ul_mac(cc, crnti, raw)
         if tti % 5 == SR_SF:
             # scheduling requests: PUCCH format 1 per connected UE (skip UEs
             # that transmitted PUSCH in this same subframe)
             served = {c for c, _, _ in expected}
             for crnti, ue in self.ues.items():
-                if crnti in served or ue.rrc_state == "idle":
+                if (ue.pci != cc.cell.id or crnti != ue.crnti
+                        or crnti in served
+                        or ue.rrc_state == "idle" or ue.ho_pending):
                     continue
-                pucch = Pucch(self.cell,
+                pucch = Pucch(cc.cell,
                               PucchConfig("1", n_pucch=crnti % 12),
                               sf_idx=tti % 10)
-                res = self.enb_ul.decode_pucch(samples, pucch)
+                res = cc.enb_ul.decode_pucch(samples, pucch)
                 if bool(np.asarray(res["detected"])):
-                    self.sched_ul.ul_bsr(
-                        crnti, max(self.sched_ul.bsr.get(crnti, 0),
+                    cc.sched_ul.ul_bsr(
+                        crnti, max(cc.sched_ul.bsr.get(crnti, 0),
                                    SR_GRANT_BYTES))
-        self._tick()
+        if is_last_cc:
+            self._tick()
 
     def _tick(self):
         for ue in self.ues.values():
@@ -247,23 +317,80 @@ class EnbApp:
             ue.drb1.tick()
 
     # ---------------- stack ----------------------------------------------
-    def _handle_msg3(self, crnti: int, raw: bytes):
-        if self.rach.rx_msg3(crnti, raw) is None:
+    def _handle_msg3(self, cc: _Cc, crnti: int, raw: bytes):
+        ue = self.ues.get(crnti)
+        if ue is not None and ue.ho_pending:
+            # contention-free handover msg3: SRB1 data (Reconfiguration
+            # Complete), no contention resolution (36.321 5.1.5).  The UE
+            # has arrived on the target cell: re-key the context now.
+            target_pci, new_crnti = ue.ho_target
+            if crnti == new_crnti and ue.crnti != new_crnti:
+                src = self.ccs[ue.pci]
+                src.sched_dl.ues.pop(ue.crnti, None)
+                src.sched_ul.bsr.pop(ue.crnti, None)
+                self.ues.pop(ue.crnti, None)
+                ue.crnti = new_crnti
+                ue.pci = target_pci
+            self._handle_ul_mac(cc, crnti, raw)
             return
-        ue = EnbUe(crnti=crnti, ue_id=self._next_ue_id)
+        if cc.rach.rx_msg3(crnti, raw) is None:
+            return
+        mac3 = MacPdu.parse(raw, ul=True)
+        ccch = next((s for s in mac3.subpdus
+                     if s.lcid == int(UL_LCID.CCCH)), None)
+        if ccch is None:
+            return
+        req = rrc_unpack(ccch.payload, "ul_ccch")
+        if isinstance(req, ReestablishmentRequest):
+            self._handle_reestablishment(cc, crnti, ccch.payload, req)
+            return
+        assert isinstance(req, ConnectionRequest)
+        ue = EnbUe(crnti=crnti, pci=cc.cell.id, ue_id=self._next_ue_id)
         self._next_ue_id += 1
         self.ues[crnti] = ue
-        mac3 = MacPdu.parse(raw, ul=True)
-        ccch = next(s for s in mac3.subpdus if s.lcid == int(UL_LCID.CCCH))
-        req = rrc_unpack(ccch.payload, "ul_ccch")
-        assert isinstance(req, ConnectionRequest)
         # msg4: contention-resolution CE (echo of the CCCH SDU head) +
         # ConnectionSetup on SRB0
         ue.pending_ce = ccch.payload[:6].ljust(6, b"\0")
         ue.srb0.write_sdu(rrc_pack(ConnectionSetup()))
         ue.rrc_state = "setup"
 
-    def _handle_ul_mac(self, crnti: int, raw: bytes):
+    def _handle_reestablishment(self, cc: _Cc, new_crnti: int,
+                                ccch_payload: bytes,
+                                req: ReestablishmentRequest):
+        """rrc.cc reestablishment: find the old context by (C-RNTI, PCI),
+        verify ShortMAC-I, re-anchor on this cell with bearer continuity."""
+        old = self.ues.get(req.c_rnti)
+        ok = (old is not None and old.pci == req.pci
+              and old.pdcp1 is not None)
+        if ok:
+            expect = short_mac_i(old.pdcp1.k_int, old.pdcp1.cfg.ia,
+                                 Sib1().cell_id, req.pci, req.c_rnti)
+            ok = expect == req.short_mac_i
+        reply_ue = old if ok else EnbUe(crnti=new_crnti, pci=cc.cell.id)
+        if ok:
+            # move the context: new C-RNTI, possibly new serving cell
+            src = self.ccs[old.pci]
+            src.sched_dl.ues.pop(old.crnti, None)
+            src.sched_ul.bsr.pop(old.crnti, None)
+            del self.ues[old.crnti]
+            if old.ho_target is not None:  # abandoned HO: drop the alias
+                alias = old.ho_target[1]
+                if alias != new_crnti:
+                    self.ues.pop(alias, None)
+                old.ho_target = None
+            old.crnti = new_crnti
+            old.pci = cc.cell.id
+            old.ho_pending = False
+            self.ues[new_crnti] = old
+            old.pending_ce = ccch_payload[:6].ljust(6, b"\0")
+            old.srb0.write_sdu(rrc_pack(Reestablishment()))
+            old.rrc_state = "reestablishing"
+        else:
+            self.ues[new_crnti] = reply_ue
+            reply_ue.pending_ce = ccch_payload[:6].ljust(6, b"\0")
+            reply_ue.srb0.write_sdu(rrc_pack(ReestablishmentReject()))
+
+    def _handle_ul_mac(self, cc: _Cc, crnti: int, raw: bytes):
         ue = self.ues.get(crnti)
         if ue is None:
             return
@@ -275,7 +402,7 @@ class EnbApp:
                 ue.drb1.write_pdu(s.payload)
             elif s.lcid in (int(UL_LCID.SHORT_BSR), int(UL_LCID.TRUNC_BSR)):
                 idx = s.payload[0] & 0x3F
-                self.sched_ul.ul_bsr(crnti, bsr_bytes(idx) if idx else 0)
+                cc.sched_ul.ul_bsr(crnti, bsr_bytes(idx) if idx else 0)
         # drain SRB1 -> (PDCP) -> RRC
         for sdu in ue.srb1.rx_sdus[:]:
             ue.srb1.rx_sdus.remove(sdu)
@@ -312,6 +439,32 @@ class EnbApp:
         ue.pdcp_drb = PdcpEntity(PdcpConfig(is_srb=False, bearer_id=1,
                                             ea=EEA2), k_up, is_ue=False)
 
+    # ---------------- mobility (rrc_mobility.cc analog) -------------------
+    def _start_handover(self, ue: EnbUe, report: MeasurementReportMsg):
+        """A3 report -> intra-eNB handover to the strongest neighbor that
+        is one of our cells (rrc_mobility.cc:handle_ue_meas_report).
+
+        The context stays keyed by the source C-RNTI (the HO command still
+        drains via the source cell's RLC/scheduler) and is ALSO aliased
+        under the new C-RNTI; the switch happens when the contention-free
+        msg3 arrives on the target cell."""
+        targets = [(dbm, pci) for pci, dbm in (report.neighbors or {}).items()
+                   if pci in self.ccs and pci != ue.pci]
+        if not targets or ue.ho_pending:
+            return
+        _, target_pci = max(targets)
+        tgt = self.ccs[target_pci]
+        new_crnti = tgt.rach.next_crnti
+        tgt.rach.next_crnti += 1
+        tgt.rach.reserve(HO_PREAMBLE, new_crnti)
+        mci = MobilityControl(target_pci=target_pci, new_crnti=new_crnti,
+                              t304_ms=200, ra_preamble=HO_PREAMBLE)
+        ue.srb1.write_sdu(ue.pdcp1.tx(rrc_pack(
+            ConnectionReconfiguration(drb_id=0, mobility=mci))))
+        ue.ho_pending = True
+        ue.ho_target = (target_pci, new_crnti)
+        self.ues[new_crnti] = ue  # alias until msg3 lands on the target
+
     def _handle_rrc_ul(self, ue: EnbUe, raw: bytes):
         msg = rrc_unpack(raw, "ul_dcch")
         if isinstance(msg, ConnectionSetupComplete):
@@ -322,10 +475,31 @@ class EnbApp:
         elif isinstance(msg, RrcSecurityModeComplete):
             ue.rrc_state = "secure"
             self._activate_as_security(ue)
-            ue.srb1.write_sdu(ue.pdcp1.tx(rrc_pack(ConnectionReconfiguration(
-                drb_id=1, nas_pdu=self._pending_nas.pop(ue.crnti, b"")))))
+            recfg = ConnectionReconfiguration(
+                drb_id=1, nas_pdu=self._pending_nas.pop(ue.crnti, b""),
+                meas=MeasConfigA3(a3_offset_db=3.0)
+                if self.neighbor_meas else None)
+            ue.meas_cfg_sent = recfg.meas is not None
+            ue.srb1.write_sdu(ue.pdcp1.tx(rrc_pack(recfg)))
         elif isinstance(msg, ConnectionReconfigurationComplete):
             ue.rrc_state = "rrc_reconfigured"
+            ue.ho_pending = False
+            ue.ho_target = None
+        elif isinstance(msg, MeasurementReportMsg):
+            # link adaptation: an A3 report means the serving link is weak
+            # and interference-limited — drop to robust MCS and force wide
+            # PDCCH aggregation so the HO command survives (the reference
+            # reaches the same state via the UE's falling CQI reports,
+            # sched_ue.cc get_aggr_level/cqi_to_mcs)
+            sched = self.ccs[ue.pci].sched_dl
+            if ue.crnti in sched.ues:
+                sched.ues[ue.crnti].cqi = min(sched.ues[ue.crnti].cqi, 3)
+            self._start_handover(ue, msg)
+        elif isinstance(msg, ReestablishmentComplete):
+            ue.rrc_state = "connected"
+            # re-add the DRB so the data path resumes on the new cell
+            ue.srb1.write_sdu(ue.pdcp1.tx(rrc_pack(
+                ConnectionReconfiguration(drb_id=1))))
 
     def _nas_dl(self, ue: EnbUe, nas_pdu: bytes):
         if not nas_pdu or self.mme is None:

@@ -42,6 +42,28 @@ class UeRaProc:
         self._win = 0
         return self.preamble
 
+    def start_dedicated(self, preamble: int) -> int:
+        """Contention-free RA with a dedicated preamble (handover,
+        36.321 5.1.2): no contention resolution follows the RAR."""
+        self.preamble = int(preamble)
+        self.attempt += 1
+        self.state = "wait_rar"
+        self._win = 0
+        return self.preamble
+
+    def rx_rar_dedicated(self, raw: bytes):
+        """CFRA RAR: -> (temp_crnti, ta) and done, or None."""
+        if self.state != "wait_rar":
+            return None
+        rar = RarPdu.parse(raw)
+        for r in rar.rars:
+            if r.rapid == self.preamble:
+                self.temp_crnti = self.crnti = r.temp_crnti
+                self.ta = r.ta
+                self.state = "connected"
+                return (r.temp_crnti, r.ta)
+        return None
+
     def tick(self):
         if self.state == "wait_rar":
             self._win += 1
@@ -94,16 +116,29 @@ class EnbRach:
 
     next_crnti: int = 0x46
     pending: dict = field(default_factory=dict)  # temp_crnti -> ta
+    reserved: dict = field(default_factory=dict)  # preamble -> crnti (CFRA)
+    last_rar_crnti: int = 0  # C-RNTI of the most recent RAR (msg3 owner)
+
+    def reserve(self, preamble: int, crnti: int):
+        """Dedicated (contention-free) preamble for handover RACH
+        (36.321 5.1.1 ra-PreambleIndex via mobilityControlInfo)."""
+        self.reserved[preamble] = crnti
 
     def rach_detected(self, preambles: list, tas: list) -> bytes:
         """Build the RAR PDU for this TTI's detected preambles."""
         rar = RarPdu(backoff=None)
         for p, ta in zip(preambles, tas):
-            crnti = self.next_crnti
-            self.next_crnti += 1
-            self.pending[crnti] = ta
+            if int(p) in self.reserved:
+                # contention-free: temp C-RNTI is the pre-assigned C-RNTI
+                # and no contention resolution follows
+                crnti = self.reserved.pop(int(p))
+            else:
+                crnti = self.next_crnti
+                self.next_crnti += 1
+                self.pending[crnti] = ta
             rar.rars.append(Rar(rapid=int(p), ta=int(ta), grant=0x1234,
                                 temp_crnti=crnti))
+            self.last_rar_crnti = crnti
         return rar.pack()
 
     def rx_msg3(self, temp_crnti: int, raw: bytes) -> bytes | None:

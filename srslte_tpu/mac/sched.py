@@ -166,9 +166,13 @@ class SchedDl:
         for ue in cands:
             if not rbg_free.any():
                 break
-            # PDCCH: first free UE-specific candidate
+            # PDCCH: first free UE-specific candidate at an aggregation
+            # level the UE's reported channel can decode (sched_ue.cc
+            # get_aggr_level: low CQI -> wider PDCCH candidates)
+            min_L = 1 if ue.cqi >= 8 else (2 if ue.cqi >= 5 else 4)
             loc = next((l for l in ue_locations(n_cce, ue.rnti, sf_idx)
-                        if cce_free[l.cce : l.cce + l.L].all()), None)
+                        if l.L >= min_L
+                        and cce_free[l.cce : l.cce + l.L].all()), None)
             if loc is None:
                 continue  # PDCCH blocked this TTI
             mcs = CQI_TO_MCS[ue.cqi]

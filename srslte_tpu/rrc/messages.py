@@ -185,17 +185,121 @@ class RrcSecurityModeComplete:
 
 
 @dataclass
+class MobilityControl:
+    """mobilityControlInfo fields the handover procedure consumes."""
+
+    target_pci: int
+    new_crnti: int
+    t304_ms: int = 100
+    ra_preamble: int = -1  # dedicated (contention-free) preamble; -1 = CBRA
+
+    _T304 = {50: "ms50", 100: "ms100", 150: "ms150", 200: "ms200",
+             500: "ms500", 1000: "ms1000", 2000: "ms2000"}
+
+    def to_tree(self):
+        t = {"target_pci": self.target_pci,
+             "t304": self._T304[self.t304_ms],
+             "new_ue_id": self.new_crnti,
+             # common config of the target cell: spec defaults (the full
+             # values normally mirror the target's SIB2)
+             "rr_cfg_common": {
+                 "prach_cfg": {"root_seq_idx": 0},
+                 "pusch_cfg_common": {
+                     "pusch_cfg_basic": {
+                         "n_sb": 1, "hop_mode": "inter_sub_frame",
+                         "pusch_hop_offset": 0, "enable64_qam": False},
+                     "ul_ref_sigs_pusch": {
+                         "group_hop_enabled": False,
+                         "group_assign_pusch": 0,
+                         "seq_hop_enabled": False, "cyclic_shift": 0}},
+                 "ul_cp_len": "len1"}}
+        if self.ra_preamble >= 0:
+            t["rach_cfg_ded"] = {"ra_preamb_idx": self.ra_preamble,
+                                 "ra_prach_mask_idx": 0}
+        return t
+
+    @staticmethod
+    def from_tree(t):
+        ded = t.get("rach_cfg_ded")
+        return MobilityControl(
+            target_pci=t["target_pci"], new_crnti=t["new_ue_id"],
+            t304_ms=int(t["t304"][2:]),
+            ra_preamble=ded["ra_preamb_idx"] if ded else -1)
+
+
+@dataclass
+class MeasConfigA3:
+    """measConfig subset: one EUTRA object + one A3 event report config."""
+
+    a3_offset_db: float = 3.0
+    hysteresis_db: float = 0.0
+    time_to_trigger_ms: int = 0
+    earfcn: int = 3400
+
+    _TTT = {0: "ms0", 40: "ms40", 64: "ms64", 80: "ms80", 100: "ms100",
+            128: "ms128", 160: "ms160", 256: "ms256", 320: "ms320",
+            480: "ms480", 512: "ms512", 640: "ms640"}
+
+    def to_tree(self):
+        return {
+            "meas_obj_to_add_mod_list": [
+                {"meas_obj_id": 1,
+                 "meas_obj": ("meas_obj_eutra",
+                              {"carrier_freq": self.earfcn,
+                               "allowed_meas_bw": "mbw6",
+                               "presence_ant_port1": False,
+                               "neigh_cell_cfg": 0})}],
+            "report_cfg_to_add_mod_list": [
+                {"report_cfg_id": 1,
+                 "report_cfg": ("report_cfg_eutra", {
+                     "trigger_type": ("event", {
+                         "event_id": ("event_a3", {
+                             # a3-Offset signalled in 0.5 dB units
+                             "a3_offset": int(round(2 * self.a3_offset_db)),
+                             "report_on_leave": False}),
+                         "hysteresis": int(round(2 * self.hysteresis_db)),
+                         "time_to_trigger":
+                             self._TTT[self.time_to_trigger_ms]}),
+                     "trigger_quant": "rsrp",
+                     "report_quant": "both",
+                     "max_report_cells": 8,
+                     "report_interv": "ms120",
+                     "report_amount": "r1"})}],
+            "meas_id_to_add_mod_list": [
+                {"meas_id": 1, "meas_obj_id": 1, "report_cfg_id": 1}]}
+
+    @staticmethod
+    def from_tree(t):
+        rep = t["report_cfg_to_add_mod_list"][0]["report_cfg"][1]
+        ev = rep["trigger_type"][1]
+        obj = t["meas_obj_to_add_mod_list"][0]["meas_obj"][1]
+        return MeasConfigA3(
+            a3_offset_db=ev["event_id"][1]["a3_offset"] / 2.0,
+            hysteresis_db=ev["hysteresis"] / 2.0,
+            time_to_trigger_ms=int(ev["time_to_trigger"][2:]),
+            earfcn=obj["carrier_freq"])
+
+
+@dataclass
 class ConnectionReconfiguration:
     drb_id: int = 1
     nas_pdu: bytes = b""
+    mobility: MobilityControl | None = None
+    meas: MeasConfigA3 | None = None
 
     _channel = "dl_dcch"
 
     def to_tree(self):
-        r8 = {"rr_cfg_ded": {"drb_to_add_mod_list": [
-            {"eps_bearer_id": 5, "drb_id": self.drb_id, "lc_ch_id": 3}]}}
+        r8 = {}
+        if self.drb_id:
+            r8["rr_cfg_ded"] = {"drb_to_add_mod_list": [
+                {"eps_bearer_id": 5, "drb_id": self.drb_id, "lc_ch_id": 3}]}
         if self.nas_pdu:
             r8["ded_info_nas_list"] = [self.nas_pdu]
+        if self.mobility is not None:
+            r8["mob_ctrl_info"] = self.mobility.to_tree()
+        if self.meas is not None:
+            r8["meas_cfg"] = self.meas.to_tree()
         return ("rrc_conn_recfg", {
             "rrc_transaction_id": 0,
             "crit_exts": ("c1", ("rrc_conn_recfg_r8", r8))})
@@ -205,8 +309,12 @@ class ConnectionReconfiguration:
         r8 = t["crit_exts"][1][1]
         nas = r8.get("ded_info_nas_list", [b""])
         drbs = r8.get("rr_cfg_ded", {}).get("drb_to_add_mod_list", [])
+        mci = r8.get("mob_ctrl_info")
+        mc = r8.get("meas_cfg")
         return ConnectionReconfiguration(
-            drb_id=drbs[0]["drb_id"] if drbs else 1, nas_pdu=nas[0])
+            drb_id=drbs[0]["drb_id"] if drbs else 0, nas_pdu=nas[0],
+            mobility=MobilityControl.from_tree(mci) if mci else None,
+            meas=MeasConfigA3.from_tree(mc) if mc else None)
 
 
 @dataclass
@@ -221,6 +329,133 @@ class ConnectionReconfigurationComplete:
     @staticmethod
     def from_tree(t):
         return ConnectionReconfigurationComplete()
+
+
+@dataclass
+class MeasurementReportMsg:
+    """MeasurementReport: serving + triggered neighbor RSRPs.
+
+    RSRP values carried in the 36.133 9.1.4 report range 0..97
+    (value = dBm + 141, clipped); the dataclass keeps dBm floats.
+    """
+
+    meas_id: int = 1
+    serving_rsrp_dbm: float = -100.0
+    neighbors: dict = None  # pci -> rsrp dBm
+
+    _channel = "ul_dcch"
+
+    @staticmethod
+    def _q(dbm: float) -> int:
+        return max(0, min(97, int(round(dbm + 141))))
+
+    @staticmethod
+    def _dq(v: int) -> float:
+        return float(v - 141)
+
+    def to_tree(self):
+        res = {"meas_id": self.meas_id,
+               "meas_result_pcell": {
+                   "rsrp_result": self._q(self.serving_rsrp_dbm),
+                   "rsrq_result": 0}}
+        if self.neighbors:
+            res["meas_result_neigh_cells"] = ("meas_result_list_eutra", [
+                {"pci": pci,
+                 "meas_result": {"rsrp_result": self._q(dbm)}}
+                for pci, dbm in sorted(self.neighbors.items())])
+        return ("meas_report", {"crit_exts": ("c1", (
+            "meas_report_r8", {"meas_results": res}))})
+
+    @staticmethod
+    def from_tree(t):
+        res = t["crit_exts"][1][1]["meas_results"]
+        neigh = {}
+        nc = res.get("meas_result_neigh_cells")
+        if nc and nc[0] == "meas_result_list_eutra":
+            for e in nc[1]:
+                neigh[e["pci"]] = MeasurementReportMsg._dq(
+                    e["meas_result"]["rsrp_result"])
+        return MeasurementReportMsg(
+            meas_id=res["meas_id"],
+            serving_rsrp_dbm=MeasurementReportMsg._dq(
+                res["meas_result_pcell"]["rsrp_result"]),
+            neighbors=neigh)
+
+
+@dataclass
+class ReestablishmentRequest:
+    """RRCConnectionReestablishmentRequest (UL-CCCH, 36.331 5.3.7)."""
+
+    c_rnti: int
+    pci: int
+    short_mac_i: int
+    cause: str = "other_fail"  # recfg_fail | ho_fail | other_fail
+
+    _channel = "ul_ccch"
+
+    def to_tree(self):
+        return ("rrc_conn_reest_request", {"crit_exts": (
+            "rrc_conn_reest_request_r8",
+            {"ue_id": {"c_rnti": self.c_rnti, "pci": self.pci,
+                       "short_mac_i": self.short_mac_i},
+             "reest_cause": self.cause, "spare": 0})})
+
+    @staticmethod
+    def from_tree(t):
+        r8 = t["crit_exts"][1]
+        uid = r8["ue_id"]
+        return ReestablishmentRequest(
+            c_rnti=uid["c_rnti"], pci=uid["pci"],
+            short_mac_i=uid["short_mac_i"], cause=r8["reest_cause"])
+
+
+@dataclass
+class Reestablishment:
+    """RRCConnectionReestablishment (DL-CCCH): re-establishes SRB1."""
+
+    next_hop_chaining_count: int = 0
+
+    _channel = "dl_ccch"
+
+    def to_tree(self):
+        return ("rrc_conn_reest", {
+            "rrc_transaction_id": 0,
+            "crit_exts": ("c1", ("rrc_conn_reest_r8", {
+                "rr_cfg_ded": {"srb_to_add_mod_list": [{"srb_id": 1}]},
+                "next_hop_chaining_count": self.next_hop_chaining_count}))})
+
+    @staticmethod
+    def from_tree(t):
+        r8 = t["crit_exts"][1][1]
+        return Reestablishment(
+            next_hop_chaining_count=r8["next_hop_chaining_count"])
+
+
+@dataclass
+class ReestablishmentReject:
+    _channel = "dl_ccch"
+
+    def to_tree(self):
+        return ("rrc_conn_reest_reject",
+                {"crit_exts": ("rrc_conn_reest_reject_r8", {})})
+
+    @staticmethod
+    def from_tree(t):
+        return ReestablishmentReject()
+
+
+@dataclass
+class ReestablishmentComplete:
+    _channel = "ul_dcch"
+
+    def to_tree(self):
+        return ("rrc_conn_reest_complete", {
+            "rrc_transaction_id": 0,
+            "crit_exts": ("rrc_conn_reest_complete_r8", {})})
+
+    @staticmethod
+    def from_tree(t):
+        return ReestablishmentComplete()
 
 
 @dataclass
@@ -314,13 +549,20 @@ class ConnectionRelease:
 
 # channel schema + the message types it carries (alternative name -> class)
 CHANNELS = {
-    "ul_ccch": (S.UL_CCCH_MESSAGE, {"rrc_conn_request": ConnectionRequest}),
-    "dl_ccch": (S.DL_CCCH_MESSAGE, {"rrc_conn_setup": ConnectionSetup}),
+    "ul_ccch": (S.UL_CCCH_MESSAGE, {
+        "rrc_conn_request": ConnectionRequest,
+        "rrc_conn_reest_request": ReestablishmentRequest}),
+    "dl_ccch": (S.DL_CCCH_MESSAGE, {
+        "rrc_conn_setup": ConnectionSetup,
+        "rrc_conn_reest": Reestablishment,
+        "rrc_conn_reest_reject": ReestablishmentReject}),
     "ul_dcch": (S.UL_DCCH_MESSAGE, {
         "rrc_conn_setup_complete": ConnectionSetupComplete,
         "ul_info_transfer": UlInformationTransfer,
         "security_mode_complete": RrcSecurityModeComplete,
-        "rrc_conn_recfg_complete": ConnectionReconfigurationComplete}),
+        "rrc_conn_recfg_complete": ConnectionReconfigurationComplete,
+        "rrc_conn_reest_complete": ReestablishmentComplete,
+        "meas_report": MeasurementReportMsg}),
     "dl_dcch": (S.DL_DCCH_MESSAGE, {
         "dl_info_transfer": DlInformationTransfer,
         "security_mode_cmd": RrcSecurityModeCommand,

@@ -37,13 +37,19 @@ from .phy.phch.ra_ul import UlGrant
 from .phy.ue.ue_dl import UeDl
 from .phy.ue.ue_mib import UeMib
 from .phy.ue.ue_ul import UeUl
+from .phy.ue.intra_measure import IntraMeasure
 from .rlc import RlcAm, RlcTm
+from .rrc.meas import MeasEventEngine, ReportConfig
+from .rrc.mobility import RadioLinkMonitor, RlmConfig, short_mac_i
 from .rrc.messages import (ConnectionReconfiguration,
                            ConnectionReconfigurationComplete,
                            ConnectionRequest, ConnectionSetup,
                            ConnectionSetupComplete, DlInformationTransfer,
-                           RrcSecurityModeCommand, RrcSecurityModeComplete,
-                           Sib1, UlInformationTransfer, rrc_pack, rrc_unpack)
+                           MeasurementReportMsg, Reestablishment,
+                           ReestablishmentComplete, ReestablishmentReject,
+                           ReestablishmentRequest, RrcSecurityModeCommand,
+                           RrcSecurityModeComplete, Sib1,
+                           UlInformationTransfer, rrc_pack, rrc_unpack)
 from .security import EEA2, EIA2
 from .ue_stack import UeNas
 
@@ -52,6 +58,8 @@ RA_RNTI = 0x0002
 CFI = 2
 MSG3_GRANT = UlGrant(prb_start=1, n_prb=4, mcs=4)
 SR_SF = 3  # SR opportunities at tti % 5 == 3 (sr-ConfigIndex period-5 analog)
+MEAS_PERIOD_MS = 5  # intra-frequency measurement cadence
+RSRP_REF_DBM = -60.0  # virtual-RF calibration: unit linear power -> -60 dBm
 
 
 @dataclass
@@ -64,7 +72,8 @@ class UlTx:
 
 
 class UeApp:
-    def __init__(self, cell: Cell, nas: UeNas):
+    def __init__(self, cell: Cell, nas: UeNas, neighbor_pcis: tuple = (),
+                 rlm_cfg: RlmConfig | None = None):
         self.cell = cell
         self.nas = nas
         self.ue_dl = UeDl(cell)
@@ -84,6 +93,73 @@ class UeApp:
         self.pending_ul: dict[int, UlTx] = {}
         self.rx_data: list = []
         self._ccch_sdu = b""
+        # mobility state (sync.cc RLM + rrc_meas.cc + rrc.cc mobility)
+        self.known_pcis = {cell.id, *neighbor_pcis}
+        self.rlm = RadioLinkMonitor(rlm_cfg or RlmConfig())
+        self.meas_engine: MeasEventEngine | None = None
+        # measure serving + neighbors with ONE batched measurer so the A3
+        # comparison uses a consistent RSRP scale
+        self._measurer = (IntraMeasure(cell.n_prb,
+                                       tuple(sorted(self.known_pcis)))
+                          if len(self.known_pcis) > 1 else None)
+        self._last_neighbors: dict = {}
+        self._serving_dbm = -141.0
+        self.t304 = -1  # handover supervision countdown (ms)
+        self._ho_fallback: tuple | None = None  # (old_pci, old_crnti)
+        self._ded_preamble = -1
+        self._ra_mode = "attach"  # what msg3's CCCH SDU carries
+        self._reest_req = b""
+        self._cell_switched = False
+        self.ho_count = 0
+        self.reest_count = 0
+        self._muted_pcis: frozenset = frozenset()
+        self._crs_mute = None  # active FeICIC CRS-muting mask (or None)
+
+    CRS_MUTE_REL_DB = 6.0  # mute a neighbor's CRS when within this of serving
+
+    def _neighbor_crs_mute(self, pcis) -> np.ndarray | None:
+        """[nsym_sf, nof_re] float32 mask zeroing REs under the given
+        neighbor cells' CRS (FeICIC-style CRS interference mitigation: a
+        strong neighbor's CRS punctures our control/data REs with
+        confidently-wrong LLRs; muting turns them into erasures, which the
+        convolutional/turbo codes absorb).  Only neighbors measured within
+        CRS_MUTE_REL_DB of the serving cell are muted — erasing REs under
+        a WEAK neighbor throws away good signal (a real CRS-IC receiver
+        gates on measured interference the same way)."""
+        from .phy.chest.refsignal_dl import crs_mask
+
+        if not pcis:
+            return None
+        mute = np.zeros_like(crs_mask(self.cell))
+        for pci in pcis:
+            mute |= crs_mask(Cell(n_prb=self.cell.n_prb, id=pci,
+                                  nof_ports=self.cell.nof_ports))
+        mute &= ~crs_mask(self.cell)  # never touch our own pilots
+        return (~mute).astype(np.float32)
+
+    def _update_crs_mute(self):
+        strong = frozenset(
+            p for p, dbm in self._last_neighbors.items()
+            if dbm >= self._serving_dbm - self.CRS_MUTE_REL_DB)
+        if strong != self._muted_pcis:
+            self._muted_pcis = strong
+            self._crs_mute = self._neighbor_crs_mute(strong)
+
+    def _switch_cell(self, pci: int):
+        """Retune the PHY objects to a new serving cell; the RLC/PDCP
+        bearers survive (36.331 handover / reestablishment keep AM state)."""
+        self.cell = Cell(n_prb=self.cell.n_prb, id=pci,
+                         nof_ports=self.cell.nof_ports)
+        self.ue_dl = UeDl(self.cell)
+        self.ue_ul = UeUl(self.cell)
+        self.prach_cfg = PrachConfig(self.cell.ofdm, zero_corr_cfg=7)
+        self._measurer = (IntraMeasure(self.cell.n_prb,
+                                       tuple(sorted(self.known_pcis)))
+                          if len(self.known_pcis) > 1 else None)
+        self.rlm.reset()
+        self._cell_switched = True
+        self._muted_pcis = frozenset()
+        self._crs_mute = None  # re-derived from fresh measurements
 
     # ---------------- DL ----------------------------------------------------
     def rx_subframe(self, samples, tti: int):
@@ -95,6 +171,31 @@ class UeApp:
                 self.mib = mib
                 self.state = "rach_wait"
         grid, ce, info = self.ue_dl.fft_estimate(samples, sf)
+        if self._crs_mute is not None:
+            grid = grid * self._crs_mute  # neighbor-CRS muting (CRS-IC)
+
+        # -- mobility rails: T304 supervision, radio-link monitoring, and
+        #    neighbor measurement (sync.cc:664-688, intra_measure.cc) ------
+        if self.t304 >= 0:
+            self.t304 -= 1
+            if self.t304 < 0 and self._ho_fallback is not None:
+                # T304 expiry = handover failure -> reestablish carrying the
+                # SOURCE cell identity (36.331 5.3.5.6)
+                pci, crnti = self._ho_fallback
+                self._start_reestablishment(pci, crnti, cause="ho_fail")
+                return
+        if (self.state == "connected" and self.crnti
+                and self.pdcp1 is not None):
+            snr_db = 10.0 * np.log10(
+                max(float(np.asarray(info["snr"])), 1e-12))
+            if self.rlm.step(snr_db):
+                self._start_reestablishment(self.cell.id, self.crnti,
+                                            cause="other_fail")
+                return
+        if (self._measurer is not None and self.state == "connected"
+                and tti % MEAS_PERIOD_MS == 0):
+            self._do_measure(samples, sf)
+
         pd = Pdcch(self.cell, CFI, sf)
         size = format0_1a_size(self.cell.n_prb)
 
@@ -114,7 +215,7 @@ class UeApp:
         # aggregation level (zero-padded CCEs decode as erasures), so stop
         # at the first successful decode — ue_dl.c's duplicate filtering.
         common_rntis = []
-        if self.state in ("rach_wait", "rach_sent"):
+        if self.state in ("rach_wait", "rach_sent", "ho_rach_sent"):
             common_rntis.append(RA_RNTI)
         common_rntis.append(SI_RNTI)
         for rnti in common_rntis:
@@ -125,9 +226,11 @@ class UeApp:
                     if raw is not None:
                         self._handle_dlsch(rnti, raw, tti)
                         break
-        if self.crnti:
+        if self.crnti and not self._cell_switched:
             got_dl = got_ul = False
             for loc, payload in pd.search(grid, ce, self.crnti, size):
+                if self._cell_switched:
+                    break  # HO executed mid-drain: this grid is stale
                 dci1a = unpack_format1a(payload, self.cell.n_prb)
                 if dci1a is not None and not got_dl:
                     raw = decode_pdsch_for(dci1a, self.crnti)
@@ -146,7 +249,7 @@ class UeApp:
                     break
             # DCI format 1 (RBG type-0 assignments from the eNB scheduler)
             # lives at a distinct payload size in the UE-specific space
-            if not got_dl:
+            if not got_dl and not self._cell_switched:
                 for loc, payload in pd.search(grid, ce, self.crnti,
                                               format1_size(self.cell.n_prb),
                                               include_common=False):
@@ -156,6 +259,7 @@ class UeApp:
                         if raw is not None:
                             self._handle_dlsch(self.crnti, raw, tti)
                             break
+        self._cell_switched = False
         self.ra.tick()
         self.srb1.tick()
         self.drb1.tick()
@@ -164,6 +268,11 @@ class UeApp:
             p = self.ra.start(np.random.default_rng(self.cell.id + tti))
             self.pending_ul[tti + 1] = UlTx(tti + 1, "prach", preamble=p)
             self.state = "rach_sent"
+        elif self.state == "ho_rach" and sf == 0:
+            # contention-free RACH on the target cell (36.321 5.1.2)
+            p = self.ra.start_dedicated(self._ded_preamble)
+            self.pending_ul[tti + 1] = UlTx(tti + 1, "prach", preamble=p)
+            self.state = "ho_rach_sent"
 
     # ---------------- UL ----------------------------------------------------
     def tx_subframe(self, tti: int):
@@ -227,9 +336,27 @@ class UeApp:
         if rnti == RA_RNTI:
             if self.ra.state != "wait_rar":
                 return
-            self._ccch_sdu = rrc_pack(ConnectionRequest(
-                ue_identity=bytes([self.cell.id & 0xFF]) + np.random.default_rng(
-                    id(self) & 0xFFFF).integers(0, 256, 4).astype(np.uint8).tobytes()))
+            if self._ded_preamble >= 0:
+                got = self.ra.rx_rar_dedicated(raw)
+                if got is not None:
+                    # contention-free handover RACH done; msg3 carries the
+                    # ReconfigurationComplete already queued on SRB1
+                    self.crnti = got[0]
+                    self._ded_preamble = -1
+                    self.t304 = -1
+                    self._ho_fallback = None
+                    self.state = "connected"
+                    self.ho_count += 1
+                    self.pending_ul[tti + 4] = UlTx(tti + 4, "pusch",
+                                                    MSG3_GRANT)
+                return
+            if self._ra_mode == "reest":
+                self._ccch_sdu = self._reest_req
+            else:
+                self._ccch_sdu = rrc_pack(ConnectionRequest(
+                    ue_identity=bytes([self.cell.id & 0xFF])
+                    + np.random.default_rng(id(self) & 0xFFFF).integers(
+                        0, 256, 4).astype(np.uint8).tobytes()))
             msg3 = self.ra.rx_rar(raw, ccch_sdu=self._ccch_sdu)
             if msg3 is not None:
                 self.crnti = self.ra.temp_crnti
@@ -281,12 +408,95 @@ class UeApp:
             self.pdcp_drb = PdcpEntity(PdcpConfig(is_srb=False, bearer_id=1,
                                                   ea=EEA2), k_up, is_ue=True)
         elif isinstance(msg, ConnectionReconfiguration):
-            for ul in self.nas.rx_nas(msg.nas_pdu):
+            if msg.mobility is not None:
+                self._exec_handover(msg.mobility)
+                return
+            # nas_pdu is empty for pure-reconfiguration (e.g. the DRB re-add
+            # after reestablishment, 36.331 5.3.7.5)
+            for ul in (self.nas.rx_nas(msg.nas_pdu) if msg.nas_pdu else ()):
                 self.srb1.write_sdu(self.pdcp1.tx(
                     rrc_pack(UlInformationTransfer(nas_pdu=ul))))
             self.srb1.write_sdu(self.pdcp1.tx(
                 rrc_pack(ConnectionReconfigurationComplete())))
             self.rrc_state = "reconfigured"
+            if msg.meas is not None:
+                self.meas_engine = MeasEventEngine(1, ReportConfig(
+                    event="a3", a3_offset_db=msg.meas.a3_offset_db,
+                    hysteresis_db=msg.meas.hysteresis_db,
+                    time_to_trigger_ms=msg.meas.time_to_trigger_ms))
+        elif isinstance(msg, Reestablishment):
+            # SRB1 resumes with PDCP continuity; complete over PDCP, the eNB
+            # re-adds the DRB afterwards (36.331 5.3.7.5)
+            self.rrc_state = "connected"
+            self.reest_count += 1
+            self._ra_mode = "attach"
+            self.srb1.write_sdu(self.pdcp1.tx(rrc_pack(
+                ReestablishmentComplete())))
+        elif isinstance(msg, ReestablishmentReject):
+            self.rrc_state = "idle"
+            self.crnti = 0
+            self._ra_mode = "attach"
+
+    # ---------------- mobility -------------------------------------------
+    def _do_measure(self, samples, sf: int):
+        """One IntraMeasure dispatch covering serving + all neighbor PCIs;
+        feed the A3 engine and emit MeasurementReports (rrc_meas.cc)."""
+        m = self._measurer.measure(samples, sf)
+        pcis = self._measurer.pcis
+        lin = np.asarray(m["rsrp"], np.float64).reshape(len(pcis))
+        dbm = RSRP_REF_DBM + 10.0 * np.log10(np.maximum(lin, 1e-15))
+        by_pci = dict(zip(pcis, dbm.tolist()))
+        serving = by_pci.pop(self.cell.id, None)
+        self._last_neighbors = by_pci
+        if serving is None:
+            return
+        self._serving_dbm = float(serving)
+        self._update_crs_mute()
+        if self.meas_engine is None or self.pdcp1 is None:
+            return
+        rep = self.meas_engine.tick(float(serving), by_pci, MEAS_PERIOD_MS)
+        if rep is not None:
+            self.srb1.write_sdu(self.pdcp1.tx(rrc_pack(MeasurementReportMsg(
+                meas_id=rep.meas_id, serving_rsrp_dbm=float(serving),
+                neighbors=rep.triggered))))
+
+    def _exec_handover(self, mci):
+        """36.331 5.3.5.4: apply mobilityControlInfo — the complete goes to
+        the TARGET cell in msg3 after the dedicated-preamble RACH (T304)."""
+        self.srb1.write_sdu(self.pdcp1.tx(rrc_pack(
+            ConnectionReconfigurationComplete())))
+        self._ho_fallback = (self.cell.id, self.crnti)
+        self.known_pcis.add(mci.target_pci)
+        self._switch_cell(mci.target_pci)
+        self.crnti = 0
+        self.pending_ul.clear()
+        self._ded_preamble = mci.ra_preamble
+        self.t304 = mci.t304_ms
+        self.state = "ho_rach"
+
+    def _start_reestablishment(self, pci: int, crnti: int, cause: str):
+        """RLF / HO failure -> cell selection + reestablishment RACH with
+        (C-RNTI, PCI, ShortMAC-I) (36.331 5.3.7, sync.cc RLF path)."""
+        if self.pdcp1 is None or not crnti:
+            self.rrc_state = "idle"  # no AS security yet: go to idle
+            self.state = "mib"
+            return
+        smi = short_mac_i(self.pdcp1.k_int, self.pdcp1.cfg.ia,
+                          Sib1().cell_id, pci, crnti)
+        self._reest_req = rrc_pack(ReestablishmentRequest(
+            c_rnti=crnti, pci=pci, short_mac_i=smi, cause=cause))
+        self._ra_mode = "reest"
+        # cell selection: strongest recently-measured neighbor, else stay
+        cands = dict(self._last_neighbors)
+        target = max(cands, key=cands.get) if cands else self.cell.id
+        self._switch_cell(target)
+        self.crnti = 0
+        self.pending_ul.clear()
+        self.ra = UeRaProc()
+        self._ded_preamble = -1
+        self.t304 = -1
+        self._ho_fallback = None
+        self.state = "rach_wait"
 
     def send_data(self, packet: bytes):
         """Queue an UL user-plane packet on the DRB."""
