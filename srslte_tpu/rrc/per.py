@@ -31,6 +31,10 @@ class BitWriter:
         for b in data:
             self.put(b, 8)
 
+    def align(self):
+        """Pad to an octet boundary (ALIGNED PER only)."""
+        self._bits.extend([0] * (-len(self._bits) % 8))
+
     @property
     def nbits(self) -> int:
         return len(self._bits)
@@ -61,6 +65,10 @@ class BitReader:
 
     def get_bytes(self, n: int) -> bytes:
         return bytes(self.get(8) for _ in range(n))
+
+    def align(self):
+        """Skip to an octet boundary (ALIGNED PER only)."""
+        self.pos += -self.pos % 8
 
     @property
     def bits_left(self) -> int:
