@@ -92,6 +92,10 @@ class EnbUe:
     ho_pending: bool = False  # HO command sent, awaiting CFRA + complete
     ho_target: tuple | None = None  # (target_pci, new_crnti)
     meas_cfg_sent: bool = False
+    # S1 wire path (enb_s1.EnbS1): MME-assigned id, ICS-carried key, S1-U
+    mme_ue_id: int = -1
+    kenb: bytes = b""
+    teid_ul: int = 0
 
 
 @dataclass
@@ -112,7 +116,7 @@ class _Cc:
 
 class EnbApp:
     def __init__(self, cells, mme=None, mcs_dl: int = 5,
-                 neighbor_meas: bool = False):
+                 neighbor_meas: bool = False, s1=None):
         cells = [cells] if isinstance(cells, Cell) else list(cells)
         self.ccs: dict[int, _Cc] = {}
         for i, c in enumerate(cells):
@@ -128,6 +132,12 @@ class EnbApp:
         self.ues: dict[int, EnbUe] = {}
         self._next_ue_id = 1
         self._pending_nas: dict = {}
+        # S1 wire mode: NAS crosses a real S1AP association (enb_s1.EnbS1)
+        # instead of the co-located Mme direct-call boundary
+        self.s1 = None
+        if s1 is not None:
+            from .enb_s1 import EnbS1
+            self.s1 = s1 if isinstance(s1, EnbS1) else EnbS1(self, **s1)
 
     # -- single-cell compatibility views ----------------------------------
     @property
@@ -312,6 +322,8 @@ class EnbApp:
             self._tick()
 
     def _tick(self):
+        if self.s1 is not None:
+            self.s1.step()
         for ue in self.ues.values():
             ue.srb1.tick()
             ue.drb1.tick()
@@ -418,6 +430,27 @@ class EnbApp:
                 pkt = ue.pdcp_drb.rx(sdu)
                 if pkt is not None:
                     ue.rx_data.append(pkt)
+                    if self.s1 is not None:
+                        self.s1.ul_data(ue, pkt)
+
+    # -- enb_s1.EnbS1 callbacks (S1 wire mode) -----------------------------
+    def dl_nas_to_ue(self, ue: EnbUe, nas_pdu: bytes):
+        ue.srb1.write_sdu(rrc_pack(DlInformationTransfer(nas_pdu=nas_pdu)))
+
+    def start_as_security(self, ue: EnbUe, attach_nas: bytes):
+        """InitialContextSetupRequest arrived: run RRC SMC now and carry
+        the piggybacked NAS (attach accept) in the reconfiguration."""
+        if attach_nas:
+            self._pending_nas[ue.crnti] = attach_nas
+        from .security import EEA2, EIA2
+        ue.srb1.write_sdu(rrc_pack(RrcSecurityModeCommand(EEA2, EIA2)))
+
+    def release_ue(self, ue: EnbUe):
+        src = self.ccs.get(ue.pci)
+        if src is not None:
+            src.sched_dl.ues.pop(ue.crnti, None)
+            src.sched_ul.bsr.pop(ue.crnti, None)
+        self.ues.pop(ue.crnti, None)
 
     def send_data(self, crnti: int, packet: bytes):
         """Queue a DL user-plane packet (SGi -> DRB path)."""
@@ -430,8 +463,10 @@ class EnbApp:
         from .nas.keys import kdf_as_keys, kdf_kenb
         from .security import EEA2, EIA2
 
-        kasme = self.mme.ues[ue.ue_id].kasme
-        kenb = kdf_kenb(kasme, 0)
+        if ue.kenb:
+            kenb = ue.kenb  # S1AP InitialContextSetup carried it
+        else:
+            kenb = kdf_kenb(self.mme.ues[ue.ue_id].kasme, 0)
         k_up, k_rrc_int = kdf_as_keys(kenb, EEA2, EIA2)
         ue.pdcp1 = PdcpEntity(PdcpConfig(is_srb=True, bearer_id=1, ea=EEA2,
                                          ia=EIA2), kenb[:16], k_rrc_int,
@@ -502,7 +537,12 @@ class EnbApp:
                 ConnectionReconfiguration(drb_id=1))))
 
     def _nas_dl(self, ue: EnbUe, nas_pdu: bytes):
-        if not nas_pdu or self.mme is None:
+        if not nas_pdu:
+            return
+        if self.s1 is not None:
+            self.s1.ul_nas(ue, nas_pdu)
+            return
+        if self.mme is None:
             return
         for dl in self.mme.rx_nas(ue.ue_id, nas_pdu):
             # when NAS reaches "attached", run RRC security then carry the

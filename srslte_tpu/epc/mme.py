@@ -41,6 +41,13 @@ class Mme:
     next_guti: int = 0x1000
     ues: dict = field(default_factory=dict)  # ue_id -> UeContext
 
+    def _create_session(self, ctx: UeContext) -> tuple[str, int]:
+        """Default bearer toward the SPGW; overridden by the wire MME to
+        run GTP-C over the S11 socket (mme_gtpc.cc:send_create_session_
+        request)."""
+        tun = self.spgw.create_session(ctx.imsi, ctx.teid_dl)
+        return tun.ue_ip, tun.teid_ul
+
     def rx_nas(self, ue_id: int, raw: bytes) -> list:
         """Handle an uplink NAS PDU; returns downlink NAS PDUs to send."""
         ctx = self.ues.setdefault(ue_id, UeContext())
@@ -70,9 +77,9 @@ class Mme:
             ctx.guti = self.next_guti
             self.next_guti += 1
             ctx.teid_dl = ue_id + 0x100  # eNB-side TEID (S1AP would carry it)
-            tun = self.spgw.create_session(ctx.imsi, ctx.teid_dl)
-            return [nas_pack(AttachAccept(guti=ctx.guti, ip=tun.ue_ip,
-                                          teid_ul=tun.teid_ul), ctx.sec)]
+            ue_ip, teid_ul = self._create_session(ctx)
+            return [nas_pack(AttachAccept(guti=ctx.guti, ip=ue_ip,
+                                          teid_ul=teid_ul), ctx.sec)]
         if isinstance(msg, AttachComplete):
             return []
         raise ValueError(f"unexpected NAS message {type(msg).__name__}")
