@@ -27,9 +27,10 @@ class Spgw:
     by_teid_ul: dict = field(default_factory=dict)
     by_ue_ip: dict = field(default_factory=dict)
     next_ip: int = 2
+    ip_base: str = "172.16.0"  # pool prefix (reference: sgi_if_addr config)
 
     def create_session(self, imsi: str, teid_dl: int) -> Tunnel:
-        ue_ip = f"172.16.0.{self.next_ip}"
+        ue_ip = f"{self.ip_base}.{self.next_ip}"
         self.next_ip += 1
         t = Tunnel(imsi, ue_ip, teid_ul=self.next_teid, teid_dl=teid_dl)
         self.next_teid += 1

@@ -39,11 +39,15 @@ class _Framed:
         self.sock = sock
         self.framed = framed  # False = SCTP (message boundaries preserved)
         self._buf = b""
+        self.dead = False
         sock.setblocking(False)
 
     def send(self, pdu: bytes):
         data = struct.pack("!I", len(pdu)) + pdu if self.framed else pdu
-        self.sock.sendall(data)
+        try:
+            self.sock.sendall(data)
+        except OSError:
+            self.dead = True
 
     def poll(self) -> list[bytes]:
         out = []
@@ -55,8 +59,12 @@ class _Framed:
             except OSError as e:
                 if e.errno in (errno.EAGAIN, errno.EWOULDBLOCK):
                     break
-                raise
-            if not chunk:
+                # peer process gone (reset/refused): association is dead,
+                # the server prunes it next poll — never crash the MME loop
+                self.dead = True
+                break
+            if not chunk:  # orderly shutdown from the peer
+                self.dead = True
                 break
             if self.framed:
                 self._buf += chunk
@@ -101,6 +109,9 @@ class S1Server:
         for a in self.assocs:
             for pdu in a.poll():
                 out.append((a, pdu))
+        for a in [a for a in self.assocs if a.dead]:
+            a.close()
+            self.assocs.remove(a)
         return out
 
     def close(self):
