@@ -144,6 +144,121 @@ def alamouti_decode_2tx(y, h0, h1, noise_var=0.0):
     return out * jnp.sqrt(2.0)
 
 
+# ----------------------------------------------------------- 4-port SM (TM3/4)
+# 36.211 table 6.3.4.2.3-2: Householder codebook W_n = I - 2 u_n u_n^H / |u_n|^2.
+# The reference stops at 2x2 spatial multiplexing (precoding.c pmi_select_1l/2l
+# and srsran_precoding_cdd reject 4 ports); this extends to the full 4-port
+# rank-1..4 codebook for peak-rate operation.
+_SQ2 = np.sqrt(0.5)
+_U4 = np.array([
+    [1, -1, -1, -1],
+    [1, -1j, 1, 1j],
+    [1, 1, -1, 1],
+    [1, 1j, 1, -1j],
+    [1, (-1 - 1j) * _SQ2, -1j, (1 - 1j) * _SQ2],
+    [1, (1 - 1j) * _SQ2, 1j, (-1 - 1j) * _SQ2],
+    [1, (1 + 1j) * _SQ2, -1j, (-1 + 1j) * _SQ2],
+    [1, (-1 + 1j) * _SQ2, 1j, (1 + 1j) * _SQ2],
+    [1, -1, 1, 1],
+    [1, -1j, -1, -1j],
+    [1, 1, 1, -1],
+    [1, 1j, -1, 1j],
+    [1, -1, -1, 1],
+    [1, -1, 1, -1],
+    [1, 1, -1, -1],
+    [1, 1, 1, 1],
+], np.complex64)
+
+_W4 = np.stack([np.eye(4, dtype=np.complex64)
+                - 2.0 * np.outer(u, u.conj()) / np.vdot(u, u).real
+                for u in _U4])
+
+# per-rank column selections (1-indexed in the spec; 0-indexed here)
+_CB4_COLS = {
+    1: [[0]] * 16,
+    2: [[0, 3], [0, 1], [0, 1], [0, 1], [0, 3], [0, 3], [0, 2], [0, 2],
+        [0, 1], [0, 3], [0, 2], [0, 2], [0, 1], [0, 2], [0, 2], [0, 1]],
+    3: [[0, 1, 3], [0, 1, 2], [0, 1, 2], [0, 1, 2], [0, 1, 3], [0, 1, 3],
+        [0, 2, 3], [0, 2, 3], [0, 1, 3], [0, 2, 3], [0, 1, 2], [0, 2, 3],
+        [0, 1, 2], [0, 1, 2], [0, 1, 2], [0, 1, 2]],
+    4: [[0, 1, 2, 3], [0, 1, 2, 3], [2, 1, 0, 3], [2, 1, 0, 3],
+        [0, 1, 2, 3], [0, 1, 2, 3], [0, 2, 1, 3], [0, 2, 1, 3],
+        [0, 1, 2, 3], [0, 1, 2, 3], [0, 2, 1, 3], [0, 2, 1, 3],
+        [0, 1, 2, 3], [0, 2, 1, 3], [2, 1, 0, 3], [0, 1, 2, 3]],
+}
+
+
+def codebook_4port(pmi: int, n_layers: int) -> np.ndarray:
+    """[4 ports, n_layers] precoder, power-normalized per 36.211."""
+    w = _W4[pmi][:, _CB4_COLS[n_layers][pmi]]
+    return (w / np.sqrt(n_layers)).astype(np.complex64)
+
+
+# TM3 large-delay CDD, 4 ports (36.211 §6.3.4.2.2): U fixed 4x4 DFT,
+# D(i) = diag(e^{-j2pi*i*k/4}), W(i) cycles over codebook indices 12..15.
+_DFT4 = np.exp(-2j * np.pi * np.outer(np.arange(4), np.arange(4)) / 4) / 2.0
+_CDD4_W = np.stack([_W4[k][:, _CB4_COLS[4][k]] for k in (12, 13, 14, 15)])
+
+
+def precode_sm_4port(x, pmi: int | None = None):
+    """4-port spatial multiplexing: x [..., nl, n] layers -> [..., 4, n].
+
+    pmi None = TM3 large-delay CDD (4 layers); else TM4 codebook entry for
+    rank x.shape[-2].
+    """
+    nl = x.shape[-2]
+    n = x.shape[-1]
+    x = x.astype(jnp.complex64)
+    if pmi is None:
+        assert nl == 4, "4-port CDD runs rank 4"
+        i = jnp.arange(n)
+        d = jnp.exp(-2j * jnp.pi * i[None, :] * jnp.arange(4)[:, None] / 4)
+        wc = jnp.asarray(_CDD4_W)[jnp.mod(i, 4)]  # [n, 4, 4]
+        u = jnp.asarray(_DFT4.astype(np.complex64))
+        # y(i) = W(i) D(i) U x(i); W carries the rank-4 1/2 normalization
+        s = jnp.einsum("kl,...ln->...kn", u, x) * d
+        return jnp.einsum("npk,...kn->...pn", wc, s) / 2.0
+    w = jnp.asarray(codebook_4port(pmi, nl))
+    return jnp.einsum("pl,...ln->...pn", w, x)
+
+
+def mmse_sm_4port(y, h, noise_var, pmi: int | None = None, n_layers: int = 4):
+    """MMSE detection for 4-port SM: y [..., nrx, n], h [..., nrx, 4, n].
+
+    Folds the precoder into the channel and solves the nl x nl normal
+    equations per RE (batched jnp.linalg.solve -> XLA batched LU).
+    Returns (x [..., nl, n], gain [..., nl, n]).
+    """
+    n = y.shape[-1]
+    h = h.astype(jnp.complex64)
+    if pmi is None:
+        assert n_layers == 4
+        i = jnp.arange(n)
+        d = jnp.exp(-2j * jnp.pi * i[None, :] * jnp.arange(4)[:, None] / 4)
+        wc = jnp.asarray(_CDD4_W)[jnp.mod(i, 4)]  # [n, 4, 4]
+        u = jnp.asarray(_DFT4.astype(np.complex64))
+        # M(i) = W(i) D(i) U  (scaled as in precode_sm_4port)
+        du = d.T[:, :, None] * u[None, :, :]  # [n, k, l]
+        m = jnp.einsum("npk,nkl->npl", wc, du) / 2.0
+        heff = jnp.einsum("...rpn,npl->...rln", h, m)
+    else:
+        w = jnp.asarray(codebook_4port(pmi, n_layers))
+        heff = jnp.einsum("...rpn,pl->...rln", h, w)
+    hh = jnp.conj(jnp.swapaxes(heff, -3, -2))  # [..., l, r, n]
+    a = jnp.einsum("...lrn,...rmn->...lmn", hh, heff)
+    nv = jnp.mean(jnp.asarray(noise_var))
+    nl = heff.shape[-2]
+    a = a + nv * jnp.eye(nl, dtype=a.dtype)[..., None]
+    z = jnp.einsum("...lrn,...rn->...ln", hh, y.astype(jnp.complex64))
+    # batched solve: move the RE axis into the batch
+    am = jnp.moveaxis(a, -1, -3)  # [..., n, l, m]
+    zm = jnp.moveaxis(z, -1, -2)[..., None]  # [..., n, l, 1]
+    xm = jnp.linalg.solve(am, zm)[..., 0]  # [..., n, l]
+    x = jnp.moveaxis(xm, -1, -2)
+    gain = jnp.real(jnp.einsum("...lln->...ln", a)) - nv
+    return x, gain
+
+
 # ------------------------------------------------------------- 4-port SFBC-FSTD
 def alamouti_encode_4tx(x):
     """SFBC-FSTD: x [..., n] -> per-port symbols [..., 4, n].

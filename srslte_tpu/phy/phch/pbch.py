@@ -27,6 +27,7 @@ from ..fec.convolutional import (conv_encode_np, rm_conv_indices, rm_conv_rx,
                                  viterbi_decode)
 from ..fec.crc import LTE_CRC16, crc_attach, crc_bits, crc_matrix
 from ..mimo import alamouti_decode_2tx, alamouti_encode_2tx, equalize_zf
+from ..mimo.mimo import alamouti_decode_4tx, alamouti_encode_4tx
 from ..modem.modem import Modulation, demod_soft, modulate
 
 MIB_LEN = 24
@@ -78,33 +79,39 @@ class Mib:
 
 @functools.lru_cache(maxsize=None)
 def pbch_re_indices(cell: Cell) -> np.ndarray:
-    """Flat subframe-grid indices of the 240 PBCH REs (normal CP).
+    """Flat subframe-grid indices of the PBCH REs (240 normal / 216 ext CP).
 
-    Slot 1 symbols 0-3, center 72 subcarriers; symbols 0-1 skip the 4-port
-    CRS pattern (k mod 3 == cell_id mod 3) regardless of actual port count.
+    Slot 1 symbols 0-3, center 72 subcarriers, skipping the 4-port CRS
+    pattern (k mod 3 == cell_id mod 3) regardless of actual port count
+    (36.211 §6.6.4).  Normal CP: CRS live in symbols 0-1 of the PBCH block;
+    extended CP: ports 0/1 fall on symbols 0 and 3, ports 2/3 on symbol 1,
+    so symbols 0, 1 and 3 are punctured (pbch.c PBCH_RE_EXT_CP).
     """
     o = cell.ofdm
-    if cell.cp is not CP.NORM:
-        raise NotImplementedError("extended-CP PBCH mapping not yet supported")
+    crs_syms = (0, 1) if cell.cp is CP.NORM else (0, 1, 3)
     first = o.nof_re // 2 - 36
     idx = []
     for l in range(4):
         sym = o.nsymb_slot + l
         ks = np.arange(first, first + 72)
-        if l < 2:
+        if l in crs_syms:
             ks = ks[ks % 3 != cell.id % 3]
         idx.append(sym * o.nof_re + ks)
     out = np.concatenate(idx).astype(np.int32)
-    assert len(out) == 240
+    assert len(out) == (240 if cell.cp is CP.NORM else 216)
     return out
 
 
-_E_TOTAL = 1920  # normal CP: 4 x 480 coded bits
+_E_TOTAL = 1920  # normal CP: 4 x 480 coded bits (ext CP: 4 x 432)
+
+
+def e_total(cell: Cell) -> int:
+    return 1920 if cell.cp is CP.NORM else 1728
 
 
 @functools.lru_cache(maxsize=None)
-def _scramble_signed(cell_id: int) -> np.ndarray:
-    return gold_sequence_signed(cell_id, _E_TOTAL)
+def _scramble_signed(cell_id: int, e: int = _E_TOTAL) -> np.ndarray:
+    return gold_sequence_signed(cell_id, e)
 
 
 @dataclass(frozen=True)
@@ -125,14 +132,16 @@ class Pbch:
         import jax.numpy as jnp
 
         phase = (mib.sfn % 4)
+        e = e_total(self.cell)
+        q = e // 4
         msg = mib.pack()
         crc = crc_bits(msg, *LTE_CRC16) ^ ant_mask(self.cell.nof_ports)
         payload = np.concatenate([msg, crc])
         # host-side codeword (config-plane data; keeps encode_frame jittable)
-        coded = conv_encode_np(payload)[rm_conv_indices(3 * PAYLOAD, _E_TOTAL)]
-        scr = coded ^ gold_sequence(self.cell.id, _E_TOTAL)
-        quarter = jnp.asarray(scr[480 * phase : 480 * (phase + 1)])
-        sym = modulate(quarter, Modulation.QPSK)  # [240]
+        coded = conv_encode_np(payload)[rm_conv_indices(3 * PAYLOAD, e)]
+        scr = coded ^ gold_sequence(self.cell.id, e)
+        quarter = jnp.asarray(scr[q * phase : q * (phase + 1)])
+        sym = modulate(quarter, Modulation.QPSK)  # [240] (216 ext CP)
         o = self.cell.ofdm
         idx = jnp.asarray(self.re_idx)
         flat = grids.reshape(grids.shape[:-2] + (o.nsymb_sf * o.nof_re,))
@@ -142,8 +151,12 @@ class Pbch:
             tx = alamouti_encode_2tx(sym)
             flat = flat.at[..., 0, idx].set(tx[..., 0, :])
             flat = flat.at[..., 1, idx].set(tx[..., 1, :])
+        elif self.cell.nof_ports == 4:
+            tx = alamouti_encode_4tx(sym)
+            for p in range(4):
+                flat = flat.at[..., p, idx].set(tx[..., p, :])
         else:
-            raise NotImplementedError("4-port PBCH")
+            raise ValueError(f"bad port count {self.cell.nof_ports}")
         return flat.reshape(grids.shape)
 
     def decode(self, grid, ce):
@@ -160,35 +173,48 @@ class Pbch:
         ok, bits, win = self._decode_dev(grid, ce)
         win = int(np.asarray(win))
         return (bool(np.asarray(ok)), np.asarray(bits),
-                win % 4, 1 if win < 4 else 2)
+                win % 4, (1, 2, 4)[win // 4])
 
     @lazy_jit(static_argnums=(0,))
     def _decode_dev(self, grid, ce):
-        """All 8 (phase x ports) hypotheses in one dispatch -> (any_ok, bits, win)."""
+        """All (phase x ports) hypotheses in one dispatch -> (any_ok, bits, win).
+
+        Port hypotheses 1/2 always; 4 when ce carries 4 estimated ports
+        (pbch.c srsran_pbch_decode:444 tries nant in {1, 2, 4}).
+        """
         import jax.numpy as jnp
 
-        o = self.cell.ofdm
+        e = e_total(self.cell)
+        q = e // 4
         idx = jnp.asarray(self.re_idx)
         y = grid.reshape(-1)[idx]
         h0 = ce[0].reshape(-1)[idx]
         h1 = ce[1].reshape(-1)[idx]
         x1 = equalize_zf(y, h0)
         x2 = alamouti_decode_2tx(y, h0, h1)
-        llr_hyp = jnp.stack([demod_soft(x1, Modulation.QPSK),
-                             demod_soft(x2, Modulation.QPSK)])  # [2, 480]
-        s = jnp.asarray(_scramble_signed(self.cell.id))
-        # place the 480 LLRs at each of the 4 quarters of the 1920 buffer
-        buf = jnp.zeros((2, 4, _E_TOTAL), jnp.float32)
+        hyps = [demod_soft(x1, Modulation.QPSK),
+                demod_soft(x2, Modulation.QPSK)]
+        ports = [1, 2]
+        if ce.shape[0] >= 4:
+            h4 = jnp.stack([ce[p].reshape(-1)[idx] for p in range(4)], axis=-2)
+            x4, _ = alamouti_decode_4tx(y, h4)
+            hyps.append(demod_soft(x4, Modulation.QPSK))
+            ports.append(4)
+        nh = len(hyps)
+        llr_hyp = jnp.stack(hyps)  # [nh, q]
+        s = jnp.asarray(_scramble_signed(self.cell.id, e))
+        # place the quarter LLRs at each of the 4 offsets of the e buffer
+        buf = jnp.zeros((nh, 4, e), jnp.float32)
         for ph in range(4):
-            buf = buf.at[:, ph, 480 * ph : 480 * (ph + 1)].set(llr_hyp)
-        buf = (buf * s).reshape(8, _E_TOTAL)
-        de_rm = rm_conv_rx(buf, 3 * PAYLOAD)  # [8, 120]
-        bits = viterbi_decode(de_rm, PAYLOAD)  # [8, 40]
+            buf = buf.at[:, ph, q * ph : q * (ph + 1)].set(llr_hyp)
+        buf = (buf * s).reshape(nh * 4, e)
+        de_rm = rm_conv_rx(buf, 3 * PAYLOAD)  # [nh*4, 120]
+        bits = viterbi_decode(de_rm, PAYLOAD)  # [nh*4, 40]
         g = jnp.asarray(crc_matrix(MIB_LEN, *LTE_CRC16), jnp.int8)
         calc = jnp.matmul(bits[:, :MIB_LEN].astype(jnp.int8), g,
                           preferred_element_type=jnp.int32) & 1
         rx = bits[:, MIB_LEN:].astype(jnp.int32)
-        masks = jnp.asarray(np.stack([ant_mask(1), ant_mask(2)]), jnp.int32)
-        ok = jnp.all(calc == (rx ^ masks[jnp.arange(8) // 4]), axis=-1)
+        masks = jnp.asarray(np.stack([ant_mask(p) for p in ports]), jnp.int32)
+        ok = jnp.all(calc == (rx ^ masks[jnp.arange(nh * 4) // 4]), axis=-1)
         win = jnp.argmax(ok)
         return jnp.any(ok), bits[win], win

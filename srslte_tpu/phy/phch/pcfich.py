@@ -19,6 +19,7 @@ from ..common.params import Cell
 from ..common.scrambling import pcfich_cinit
 from ..common.sequence import gold_sequence, gold_sequence_signed
 from ..mimo import alamouti_decode_2tx, alamouti_encode_2tx, equalize_zf
+from ..mimo.mimo import alamouti_decode_4tx, alamouti_encode_4tx
 from ..modem.modem import Modulation, demod_soft, modulate
 from .regs import reg_layout
 
@@ -62,8 +63,12 @@ class Pcfich:
             tx = alamouti_encode_2tx(sym)
             flat = flat.at[..., 0, idx].set(tx[..., 0, :])
             flat = flat.at[..., 1, idx].set(tx[..., 1, :])
+        elif self.cell.nof_ports == 4:
+            tx = alamouti_encode_4tx(sym)  # 16 symbols, SFBC-FSTD
+            for p in range(4):
+                flat = flat.at[..., p, idx].set(tx[..., p, :])
         else:
-            raise NotImplementedError("4-port PCFICH")
+            raise ValueError(f"bad port count {self.cell.nof_ports}")
         return flat.reshape(grids.shape)
 
     def decode(self, grid, ce):
@@ -79,8 +84,10 @@ class Pcfich:
         cef = ce.reshape(ce.shape[:-2] + (o.nsymb_sf * o.nof_re,))
         if self.cell.nof_ports == 1:
             xhat = equalize_zf(y, cef[..., 0, idx])
-        else:
+        elif self.cell.nof_ports == 2:
             xhat = alamouti_decode_2tx(y, cef[..., 0, idx], cef[..., 1, idx])
+        else:
+            xhat, _ = alamouti_decode_4tx(y, cef[..., :, idx])
         llr = demod_soft(xhat, Modulation.QPSK)  # [..., 32], positive => bit 1
         cb = jnp.asarray(_codebook_signed(self.cell.id, self.sf_idx))
         corr = -jnp.einsum("...n,cn->...c", llr, cb)  # +1 maps bit0

@@ -27,6 +27,7 @@ from ..common.sequence import gold_sequence, gold_sequence_signed
 from ..fec.convolutional import conv_encode, rm_conv_rx, rm_conv_tx, viterbi_decode
 from ..fec.crc import LTE_CRC16, crc_bits, crc_ok_device
 from ..mimo import alamouti_decode_2tx, alamouti_encode_2tx, equalize_zf
+from ..mimo.mimo import alamouti_decode_4tx, alamouti_encode_4tx
 from ..modem.modem import Modulation, demod_soft, modulate
 from .regs import reg_layout
 
@@ -124,8 +125,12 @@ class Pdcch:
             tx = alamouti_encode_2tx(sym)
             flat = flat.at[..., 0, idx].set(tx[..., 0, :])
             flat = flat.at[..., 1, idx].set(tx[..., 1, :])
+        elif self.cell.nof_ports == 4:
+            tx = alamouti_encode_4tx(sym)  # 36L symbols, SFBC-FSTD
+            for p in range(4):
+                flat = flat.at[..., p, idx].set(tx[..., p, :])
         else:
-            raise NotImplementedError("4-port PDCCH")
+            raise ValueError(f"bad port count {self.cell.nof_ports}")
         return flat.reshape(grids.shape)
 
     # -- UE side --------------------------------------------------------------
@@ -141,8 +146,11 @@ class Pdcch:
         cef = ce.reshape(ce.shape[:-2] + (o.nsymb_sf * o.nof_re,))
         if self.cell.nof_ports == 1:
             xhat = equalize_zf(y, cef[0][idx])
-        else:
+        elif self.cell.nof_ports == 2:
             xhat = alamouti_decode_2tx(y, cef[0][idx], cef[1][idx])
+        else:
+            h4 = jnp.stack([cef[p][idx] for p in range(4)], axis=-2)
+            xhat, _ = alamouti_decode_4tx(y, h4)
         llr = demod_soft(xhat, Modulation.QPSK)  # [ncand, 72L]
         soff = np.stack([self._scramble_signed[l.cce * 72 : (l.cce + L) * 72]
                          for l in locs])

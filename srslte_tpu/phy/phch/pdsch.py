@@ -24,7 +24,8 @@ from ..common.params import Cell
 from ..common.scrambling import pdsch_cinit, scramble_bits, scramble_llr
 from ..mimo import alamouti_decode_2tx, alamouti_encode_2tx, equalize_zf
 from ..mimo.mimo import (alamouti_decode_4tx, alamouti_encode_4tx,
-                         mmse_sm_2layer, precode_sm_2layer)
+                         mmse_sm_2layer, mmse_sm_4port, precode_sm_2layer,
+                         precode_sm_4port)
 from ..modem.modem import demod_soft, modulate
 from .dlsch import DlschConfig, dlsch_decode, dlsch_encode
 from .ra import DlGrant
@@ -61,16 +62,28 @@ def reserved_mask(cell: Cell, cfi: int, has_pss_sss: bool, has_pbch: bool) -> np
 
 @functools.lru_cache(maxsize=None)
 def pdsch_re_indices(cell: Cell, prb_mask: tuple, cfi: int,
-                     has_pss_sss: bool, has_pbch: bool) -> np.ndarray:
-    """Flattened grid indices (sym*nof_re + k), frequency-first then symbol."""
+                     has_pss_sss: bool, has_pbch: bool,
+                     prb_mask_slot1: tuple | None = None) -> np.ndarray:
+    """Flattened grid indices (sym*nof_re + k), frequency-first then symbol.
+
+    `prb_mask_slot1` (distributed-VRB slot hopping, 36.211 §6.2.3.2) selects
+    a different PRB set for the odd slot's symbols; None = same both slots.
+    """
     o = cell.ofdm
     res = reserved_mask(cell, cfi, has_pss_sss, has_pbch)
-    sc = np.zeros(o.nof_re, bool)
-    for i, used in enumerate(prb_mask):
-        if used:
-            sc[i * 12 : (i + 1) * 12] = True
+
+    def sc_mask(mask):
+        sc = np.zeros(o.nof_re, bool)
+        for i, used in enumerate(mask):
+            if used:
+                sc[i * 12 : (i + 1) * 12] = True
+        return sc
+
+    sc0 = sc_mask(prb_mask)
+    sc1 = sc0 if prb_mask_slot1 is None else sc_mask(prb_mask_slot1)
     idx = []
     for l in range(o.nsymb_sf):
+        sc = sc0 if l < o.nsymb_slot else sc1
         ks = np.where(sc & ~res[l])[0]
         idx.append(l * o.nof_re + ks)
     return np.concatenate(idx).astype(np.int32)
@@ -78,7 +91,8 @@ def pdsch_re_indices(cell: Cell, prb_mask: tuple, cfi: int,
 
 def nof_re_pdsch(cell: Cell, grant: DlGrant, sf_idx: int, cfi: int) -> int:
     ps, pb = sf_flags(sf_idx)
-    return len(pdsch_re_indices(cell, grant.prb_mask, cfi, ps, pb))
+    return len(pdsch_re_indices(cell, grant.prb_mask, cfi, ps, pb,
+                                grant.prb_mask_slot1))
 
 
 def dlsch_config(cell: Cell, grant: DlGrant, sf_idx: int, cfi: int) -> DlschConfig:
@@ -104,7 +118,8 @@ class Pdsch:
     @functools.cached_property
     def re_idx(self) -> np.ndarray:
         ps, pb = sf_flags(self.sf_idx)
-        return pdsch_re_indices(self.cell, self.grant.prb_mask, self.cfi, ps, pb)
+        return pdsch_re_indices(self.cell, self.grant.prb_mask, self.cfi, ps, pb,
+                                self.grant.prb_mask_slot1)
 
     @functools.cached_property
     def _map_inverse(self) -> np.ndarray:
@@ -204,12 +219,25 @@ class PdschSm(Pdsch):
     """
 
     pmi: int | None = None
+    # Second-TB grant (same PRB set, its own MCS/RV) for per-TB link
+    # adaptation as signaled by DCI 2/2A (dci.c tb[1]); None = same as TB0.
+    grant1: DlGrant | None = None
 
     def __post_init__(self):
         assert self.cell.nof_ports == 2, "2-layer SM needs 2 TX ports"
+        if self.grant1 is not None:
+            assert self.grant1.prb_mask == self.grant.prb_mask
 
     def cinit_q(self, q: int) -> int:
         return pdsch_cinit(self.rnti, q, self.sf_idx, self.cell.id)
+
+    def cfg_q(self, q: int) -> DlschConfig:
+        if q == 0 or self.grant1 is None:
+            return self.cfg
+        return dlsch_config(self.cell, self.grant1, self.sf_idx, self.cfi)
+
+    def grant_q(self, q: int) -> DlGrant:
+        return self.grant if (q == 0 or self.grant1 is None) else self.grant1
 
     # -- eNB side -----------------------------------------------------------
     @lazy_jit(static_argnums=(0,))
@@ -221,9 +249,9 @@ class PdschSm(Pdsch):
         idx = jnp.asarray(self.re_idx)
         layers = []
         for q, bits in enumerate((bits0, bits1)):
-            coded = dlsch_encode(bits, self.cfg)
+            coded = dlsch_encode(bits, self.cfg_q(q))
             scr = scramble_bits(coded, self.cinit_q(q))
-            layers.append(modulate(scr, self.grant.modulation))
+            layers.append(modulate(scr, self.grant_q(q).modulation))
         x = jnp.stack(layers, axis=-2)  # [..., 2, n]
         ports = precode_sm_2layer(x, self.pmi)  # [..., 2, n]
         flat = grids.reshape(grids.shape[:-2] + (o.nsymb_sf * o.nof_re,))
@@ -245,11 +273,93 @@ class PdschSm(Pdsch):
         nv = jnp.mean(jnp.asarray(noise_var))
         xhat, gain = mmse_sm_2layer(y, h, nv[None], self.pmi)
         outs = []
-        qm = self.grant.modulation.bits_per_symbol
         for q in range(2):
-            llr = demod_soft(xhat[..., q, :], self.grant.modulation)
+            mod = self.grant_q(q).modulation
+            llr = demod_soft(xhat[..., q, :], mod)
             w = gain[..., q, :] / jnp.maximum(nv, 1e-9)
-            llr = llr * jnp.repeat(w, qm, axis=-1)
+            llr = llr * jnp.repeat(w, mod.bits_per_symbol, axis=-1)
             llr = scramble_llr(llr, self.cinit_q(q))
-            outs.append(dlsch_decode(llr, self.cfg, n_iter=n_iter))
+            outs.append(dlsch_decode(llr, self.cfg_q(q), n_iter=n_iter))
+        return tuple(outs)
+
+
+@dataclass(frozen=True)
+class PdschSm4(Pdsch):
+    """PDSCH with 4-layer spatial multiplexing (4 TX ports, 2 codewords).
+
+    Layer mapping per 36.211 table 6.3.3.2-1 (2 CW / 4 layers): codeword q
+    feeds layers 2q and 2q+1 alternately, so each codeword carries
+    2 * nof_re symbols.  pmi=None selects 4-port large-delay CDD (TM3-style
+    rank 4); pmi in 0..15 the 36.211 Householder codebook entry (TM4).
+    Beyond the reference's 2x2 ceiling (precoding.c srsran_precoding_cdd
+    rejects 4 ports); needed for the SURVEY §6 peak-rate point.
+    """
+
+    pmi: int | None = None
+    grant1: DlGrant | None = None
+
+    def __post_init__(self):
+        assert self.cell.nof_ports == 4, "4-layer SM needs 4 TX ports"
+        if self.grant1 is not None:
+            assert self.grant1.prb_mask == self.grant.prb_mask
+
+    def cinit_q(self, q: int) -> int:
+        return pdsch_cinit(self.rnti, q, self.sf_idx, self.cell.id)
+
+    def grant_q(self, q: int) -> DlGrant:
+        return self.grant if (q == 0 or self.grant1 is None) else self.grant1
+
+    def cfg_q(self, q: int) -> DlschConfig:
+        g = self.grant_q(q)
+        n_re = nof_re_pdsch(self.cell, g, self.sf_idx, self.cfi)
+        qm = g.modulation.bits_per_symbol
+        return DlschConfig(tbs=g.tbs, G=2 * n_re * qm, Qm=qm, rv=g.rv)
+
+    # -- eNB side -----------------------------------------------------------
+    @lazy_jit(static_argnums=(0,))
+    def encode2(self, bits0, bits1, grids):
+        """Two transport blocks -> 4 layers -> 4 ports."""
+        import jax.numpy as jnp
+
+        o = self.cell.ofdm
+        idx = jnp.asarray(self.re_idx)
+        layers = []
+        for q, bits in enumerate((bits0, bits1)):
+            coded = dlsch_encode(bits, self.cfg_q(q))
+            scr = scramble_bits(coded, self.cinit_q(q))
+            sym = modulate(scr, self.grant_q(q).modulation)  # [..., 2*n_re]
+            layers.append(sym[..., 0::2])
+            layers.append(sym[..., 1::2])
+        x = jnp.stack(layers, axis=-2)  # [..., 4, n_re]
+        ports = precode_sm_4port(x, self.pmi)  # [..., 4, n_re]
+        flat = grids.reshape(grids.shape[:-2] + (o.nsymb_sf * o.nof_re,))
+        for p in range(4):
+            flat = flat.at[..., p, idx].set(ports[..., p, :])
+        return flat.reshape(grids.shape)
+
+    # -- UE side ------------------------------------------------------------
+    @lazy_jit(static_argnums=(0,), static_argnames=("n_iter",))
+    def decode2(self, grids_rx, ce, noise_var, n_iter: int = 5):
+        """grids_rx [4rx, nsym, nre], ce [4rx, 4tx, nsym, nre] ->
+        ((bits0, ok0), (bits1, ok1))."""
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(self.re_idx)
+        y = grids_rx.reshape(grids_rx.shape[:-2] + (-1,))[..., idx]
+        h = ce.reshape(ce.shape[:-2] + (-1,))[..., idx]  # [4, 4, n]
+        nv = jnp.mean(jnp.asarray(noise_var))
+        xhat, gain = mmse_sm_4port(y, h, nv[None], self.pmi, n_layers=4)
+        outs = []
+        for q in range(2):
+            # de-map layers 2q, 2q+1 back into the codeword symbol stream
+            sym = jnp.stack([xhat[..., 2 * q, :], xhat[..., 2 * q + 1, :]],
+                            axis=-1).reshape(xhat.shape[:-2] + (-1,))
+            g = jnp.stack([gain[..., 2 * q, :], gain[..., 2 * q + 1, :]],
+                          axis=-1).reshape(xhat.shape[:-2] + (-1,))
+            mod = self.grant_q(q).modulation
+            llr = demod_soft(sym, mod)
+            w = g / jnp.maximum(nv, 1e-9)
+            llr = llr * jnp.repeat(w, mod.bits_per_symbol, axis=-1)
+            llr = scramble_llr(llr, self.cinit_q(q))
+            outs.append(dlsch_decode(llr, self.cfg_q(q), n_iter=n_iter))
         return tuple(outs)

@@ -20,6 +20,7 @@ import numpy as np
 from ..common.params import Cell
 from ..common.scrambling import pcfich_cinit  # §6.9.1 uses the same c_init form
 from ..mimo import alamouti_decode_2tx, alamouti_encode_2tx, equalize_zf
+from ..mimo.mimo import alamouti_decode_4tx, alamouti_encode_4tx
 from .regs import reg_layout
 
 NSF = 4  # spreading factor, normal CP
@@ -83,8 +84,12 @@ class Phich:
             tx = alamouti_encode_2tx(d)  # [..., g, 2, 12]
             flat = flat.at[..., 0, idx].add(tx[..., 0, :])
             flat = flat.at[..., 1, idx].add(tx[..., 1, :])
+        elif self.cell.nof_ports == 4:
+            tx = alamouti_encode_4tx(d)  # [..., g, 4, 12] SFBC-FSTD
+            for p in range(4):
+                flat = flat.at[..., p, idx].add(tx[..., p, :])
         else:
-            raise NotImplementedError("4-port PHICH")
+            raise ValueError(f"bad port count {self.cell.nof_ports}")
         return flat.reshape(grids.shape)
 
     def decode(self, grid, ce, noise_var=1e-3):
@@ -97,8 +102,12 @@ class Phich:
         cef = ce.reshape(ce.shape[:-2] + (o.nsymb_sf * o.nof_re,))
         if self.cell.nof_ports == 1:
             xhat = equalize_zf(y, cef[..., 0, idx])
-        else:
+        elif self.cell.nof_ports == 2:
             xhat = alamouti_decode_2tx(y, cef[..., 0, idx], cef[..., 1, idx])
+        else:
+            # cef[..., :, idx] is [..., 4, g, 12]; ports must sit at axis -2
+            xhat, _ = alamouti_decode_4tx(
+                y, jnp.swapaxes(cef[..., :, idx], -3, -2))
         m = jnp.asarray(_spread_matrix(self.cell.id, self.sf_idx))
         corr = jnp.einsum("...gc,sc->...gs", xhat, jnp.conj(m)) / NSF / 3
         metric = corr.real * np.sqrt(2)

@@ -24,9 +24,9 @@ from .mac.ra import UeRaProc
 from .nas.keys import kdf_as_keys, kdf_kenb
 from .pdcp import PdcpConfig, PdcpEntity
 from .phy.common.params import Cell
-from .phy.phch.dci import (format0_1a_size, format1_size,
-                           unpack_format0, unpack_format1,
-                           unpack_format1a)
+from .phy.phch.dci import (format0_1a_size, format1_size, format1c_size,
+                           unpack_format0, unpack_format1, unpack_format1a,
+                           unpack_format1c)
 from .phy.phch.pbch import Mib
 from .phy.phch.pdcch import Pdcch
 from .phy.phch.pdsch import Pdsch
@@ -219,13 +219,27 @@ class UeApp:
             common_rntis.append(RA_RNTI)
         common_rntis.append(SI_RNTI)
         for rnti in common_rntis:
+            got = False
             for loc, payload in pd.search_all(grid, ce, rnti, size, Ls=(4, 8)):
                 dci1a = unpack_format1a(payload, self.cell.n_prb)
                 if dci1a is not None:
                     raw = decode_pdsch_for(dci1a, rnti)
                     if raw is not None:
                         self._handle_dlsch(rnti, raw, tti)
+                        got = True
                         break
+            if not got:
+                # common search space covers {1A, 1C} (ue_dl.c:43); 1C is
+                # the compact broadcast format some networks use for SI/RAR
+                for loc, payload in pd.search_all(
+                        grid, ce, rnti, format1c_size(self.cell.n_prb),
+                        Ls=(4, 8)):
+                    dci1c = unpack_format1c(payload, self.cell.n_prb)
+                    if dci1c is not None:
+                        raw = decode_pdsch_for(dci1c, rnti)
+                        if raw is not None:
+                            self._handle_dlsch(rnti, raw, tti)
+                            break
         if self.crnti and not self._cell_switched:
             got_dl = got_ul = False
             for loc, payload in pd.search(grid, ce, self.crnti, size):
