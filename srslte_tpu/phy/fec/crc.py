@@ -16,6 +16,7 @@ import numpy as np
 # 36.212 §5.1.1 generator polynomials (including leading x^order term)
 LTE_CRC24A = (0x1864CFB, 24)
 LTE_CRC24B = (0x1800063, 24)
+NR_CRC24C = (0x1B2B117, 24)  # 38.212 §5.1 (PBCH/PDCCH NR)
 LTE_CRC16 = (0x11021, 16)
 LTE_CRC12 = (0x180F, 12)  # used by NB-IoT / legacy
 LTE_CRC8 = (0x19B, 8)

@@ -22,6 +22,8 @@ from dataclasses import dataclass
 import numpy as np
 
 _QPATH = os.path.join(os.path.dirname(__file__), "polar_q1024.npy")
+_ILPATH = os.path.join(os.path.dirname(__file__), "polar_il_pattern.npy")
+K_MAX_IL = 164
 
 # 38.212 table 5.4.1.1-1 sub-block interleaver pattern
 _P32 = np.array([0, 1, 2, 4, 3, 5, 6, 7, 8, 16, 9, 17, 10, 18, 11, 19,
@@ -32,6 +34,19 @@ _P32 = np.array([0, 1, 2, 4, 3, 5, 6, 7, 8, 16, 9, 17, 10, 18, 11, 19,
 @functools.lru_cache(maxsize=1)
 def q1024() -> np.ndarray:
     return np.load(_QPATH).astype(np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def input_interleaver(k: int) -> np.ndarray:
+    """38.212 §5.3.1.1 input interleaver for I_IL=1: out[i] = in[perm[i]].
+
+    The 164-entry pattern (table 5.3.1.1-1, polar_il_pattern.npy) filtered
+    to entries >= K_MAX - K, offset down (polar_interleaver.c:38).
+    """
+    pat = np.load(_ILPATH)
+    sel = pat[pat >= K_MAX_IL - k] - (K_MAX_IL - k)
+    assert len(sel) == k
+    return sel.astype(np.int64)
 
 
 @functools.lru_cache(maxsize=None)
@@ -159,6 +174,64 @@ def _deinterleave(y, code: PolarCode):
     jn = blk_interleaver(code.n)
     out = jnp.zeros_like(y)
     return out.at[..., jnp.asarray(jn)].set(y)
+
+
+def polar_decode_list(llr, code: PolarCode, L: int = 8):
+    """Batched CRC-aided-ready SCL decode: llr [E] -> candidates [L, K].
+
+    Reference behavior: lib/src/phy/fec/polar/polar_decoder_ssc_*.c list
+    variants.  TPU-first design: the list dimension is a leading batch axis;
+    the SC tree is unrolled at trace time (static N) and every node is an
+    [L, width] elementwise op.  Path forking at information leaves is a
+    top-L selection over 2L path metrics; the surviving-path permutation is
+    *threaded back* through the recursion (each node re-gathers its local
+    arrays with the child's permutation) instead of copying decoder state,
+    so there is no pointer-chasing LLR memory as in the C implementation —
+    just gathers along the path axis that XLA fuses.
+
+    Returns candidates ordered by path metric (best first); callers check
+    the outer CRC per candidate (CA-SCL selection).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ln = polar_rm_rx(llr, code)
+    l0 = -ln.astype(jnp.float32)  # positive => bit 0 internally
+    frozen = code.frozen_mask
+    # dead paths start at +inf metric so they lose every selection until
+    # enough forks have populated the list
+    m0 = jnp.where(jnp.arange(L) == 0, 0.0, jnp.inf).astype(jnp.float32)
+
+    def dec(l, fro, m):
+        """l [L, n], m [L] -> (u [L, n], x [L, n], m' [L], perm [L])."""
+        n = l.shape[-1]
+        if n == 1:
+            lf = l[..., 0]
+            if fro[0]:
+                b = jnp.zeros((L, 1), jnp.uint8)
+                return b, b, m + jax.nn.relu(-lf), jnp.arange(L)
+            pen0 = m + jax.nn.relu(-lf)
+            pen1 = m + jax.nn.relu(lf)
+            both = jnp.concatenate([pen0, pen1])  # [2L]
+            _, idx = jax.lax.top_k(-both, L)
+            b = (idx >= L).astype(jnp.uint8)[:, None]
+            return b, b, both[idx], idx % L
+        half = n // 2
+        la, lb = l[..., :half], l[..., half:]
+        f = (jnp.sign(la) * jnp.sign(lb)
+             * jnp.minimum(jnp.abs(la), jnp.abs(lb)))
+        u1, x1, m, p1 = dec(f, fro[:half], m)
+        la, lb = la[p1], lb[p1]
+        g = lb + (1.0 - 2.0 * x1.astype(jnp.float32)) * la
+        u2, x2, m, p2 = dec(g, fro[half:], m)
+        u1, x1 = u1[p2], x1[p2]
+        return (jnp.concatenate([u1, u2], -1),
+                jnp.concatenate([x1 ^ x2, x2], -1), m, p1[p2])
+
+    u_hat, _, metric, _ = dec(jnp.broadcast_to(l0, (L,) + l0.shape),
+                              frozen, m0)
+    order = jnp.argsort(metric)
+    return u_hat[order][:, jnp.asarray(code.k_set)]
 
 
 def polar_decode(llr, code: PolarCode):
