@@ -67,11 +67,18 @@ def blk_interleaver(n: int) -> np.ndarray:
 
 @dataclass(frozen=True)
 class PolarCode:
-    """Code construction for one (K, E) bucket (nPC = 0, DL-style)."""
+    """Code construction for one (K, E) bucket.
+
+    `with_pc=True` enables the UL parity-check bits (38.212 §5.3.1.2,
+    polar_code.c get_code_params:124): nPC=3 when 18 <= K <= 25, with one
+    minimum-row-weight PC bit (position 252/248 of the N=256 mother code)
+    when E > K + 189.
+    """
 
     K: int
     E: int
     n_max: int = 9  # 9 for DL, 10 for UL
+    with_pc: bool = False
 
     @functools.cached_property
     def n(self) -> int:
@@ -88,9 +95,17 @@ class PolarCode:
     def N(self) -> int:
         return 1 << self.n
 
+    @property
+    def n_pc(self) -> int:
+        return 3 if (self.with_pc and 18 <= self.K <= 25) else 0
+
+    @property
+    def n_wm_pc(self) -> int:
+        return 1 if (self.n_pc and self.E > self.K + 189) else 0
+
     @functools.cached_property
-    def frozen_mask(self) -> np.ndarray:
-        """[N] bool: True = frozen (§5.3.1.2 incl. rate-matching pre-freeze)."""
+    def _construction(self) -> tuple[np.ndarray, np.ndarray]:
+        """(k_set_full sorted [K + nPC], pc_set sorted [nPC])."""
         nn, k, e = self.N, self.K, self.E
         frozen = np.zeros(nn, bool)
         jn = blk_interleaver(self.n)
@@ -104,17 +119,58 @@ class PolarCode:
                 frozen[: t + 1] = True
             else:  # shortening: last N-E interleaved positions
                 frozen[jn[e:]] = True
-        # most reliable K non-prefrozen positions carry data
+        # most reliable K + nPC non-prefrozen positions carry data + PC
         order = mother_code(self.n)
         free = order[~frozen[order]]
-        data = free[-k:]
-        mask = np.ones(nn, bool)
-        mask[data] = False
+        sel = free[-(k + self.n_pc):]
+        pc = []
+        if self.n_pc:
+            # the (nPC - nWmPC) least reliable of the selection...
+            pc = list(sel[: self.n_pc - self.n_wm_pc])
+            if self.n_wm_pc:
+                # ...plus the minimum-row-weight pick (polar_code.c:278-283)
+                pc.append(252 if k <= 21 else 248)
+        return (np.sort(sel).astype(np.int64),
+                np.sort(np.array(pc, np.int64)))
+
+    @functools.cached_property
+    def frozen_mask(self) -> np.ndarray:
+        """[N] bool: True = frozen (§5.3.1.2 incl. rate-matching pre-freeze)."""
+        mask = np.ones(self.N, bool)
+        mask[self._construction[0]] = False
         return mask
 
     @functools.cached_property
     def k_set(self) -> np.ndarray:
-        return np.where(~self.frozen_mask)[0].astype(np.int64)
+        """Information positions only (PC positions excluded), sorted."""
+        full, pc = self._construction
+        if not self.n_pc:
+            return full
+        return np.setdiff1d(full, pc)
+
+    @functools.cached_property
+    def pc_set(self) -> np.ndarray:
+        return self._construction[1]
+
+    @functools.cached_property
+    def pc_matrix(self) -> np.ndarray:
+        """[nPC, K] GF(2): PC value p = XOR of info bits q < p with
+        q ≡ p (mod 5) — the 5-slot rotating register of chanalloc
+        (polar_chanalloc.c:51-80) is linear in the message."""
+        m = np.zeros((self.n_pc, self.K), np.uint8)
+        for r, p in enumerate(self.pc_set):
+            for c, q in enumerate(self.k_set):
+                if q < p and (p - q) % 5 == 0:
+                    m[r, c] = 1
+        return m
+
+    @functools.cached_property
+    def leaf_kind(self) -> np.ndarray:
+        """[N] int8: 0 = frozen, 1 = info, 2 = parity-check."""
+        kind = np.zeros(self.N, np.int8)
+        kind[self.k_set] = 1
+        kind[self.pc_set] = 2
+        return kind
 
 
 def polar_transform(u):
@@ -139,6 +195,11 @@ def polar_encode(bits, code: PolarCode):
 
     u = jnp.zeros(bits.shape[:-1] + (code.N,), jnp.uint8)
     u = u.at[..., jnp.asarray(code.k_set)].set(bits.astype(jnp.uint8))
+    if code.n_pc:
+        pc = jnp.matmul(bits.astype(jnp.uint8),
+                        jnp.asarray(code.pc_matrix.T),
+                        preferred_element_type=jnp.int32) & 1
+        u = u.at[..., jnp.asarray(code.pc_set)].set(pc.astype(jnp.uint8))
     x = polar_transform(u)
     y = x[..., jnp.asarray(blk_interleaver(code.n))]
     nn, e = code.N, code.E
@@ -197,47 +258,65 @@ def polar_decode_list(llr, code: PolarCode, L: int = 8):
 
     ln = polar_rm_rx(llr, code)
     l0 = -ln.astype(jnp.float32)  # positive => bit 0 internally
-    frozen = code.frozen_mask
+    kind = code.leaf_kind  # 0 frozen / 1 info / 2 parity-check
     # dead paths start at +inf metric so they lose every selection until
     # enough forks have populated the list
     m0 = jnp.where(jnp.arange(L) == 0, 0.0, jnp.inf).astype(jnp.float32)
+    # 5-slot PC shift register per path (38.212 §5.3.1.2; rotates at every
+    # leaf, folds info bits in, emits at PC leaves)
+    reg0 = jnp.zeros((L, 5), jnp.uint8)
 
-    def dec(l, fro, m):
-        """l [L, n], m [L] -> (u [L, n], x [L, n], m' [L], perm [L])."""
+    def dec(l, knd, m, reg):
+        """l [L, n], m [L], reg [L, 5] -> (u, x, m', perm, reg')."""
         n = l.shape[-1]
         if n == 1:
             lf = l[..., 0]
-            if fro[0]:
+            if code.n_pc:
+                reg = jnp.roll(reg, -1, axis=-1)
+            if knd[0] == 0:  # frozen
                 b = jnp.zeros((L, 1), jnp.uint8)
-                return b, b, m + jax.nn.relu(-lf), jnp.arange(L)
+                return b, b, m + jax.nn.relu(-lf), jnp.arange(L), reg
+            if knd[0] == 2:  # parity check: bit forced to register output
+                b = reg[:, 0]
+                pen = jax.nn.relu(lf * (2.0 * b.astype(jnp.float32) - 1.0))
+                return b[:, None], b[:, None], m + pen, jnp.arange(L), reg
             pen0 = m + jax.nn.relu(-lf)
             pen1 = m + jax.nn.relu(lf)
             both = jnp.concatenate([pen0, pen1])  # [2L]
             _, idx = jax.lax.top_k(-both, L)
-            b = (idx >= L).astype(jnp.uint8)[:, None]
-            return b, b, both[idx], idx % L
+            b = (idx >= L).astype(jnp.uint8)
+            if code.n_pc:
+                reg = reg[idx % L]
+                reg = reg.at[:, 0].set(reg[:, 0] ^ b)
+            return b[:, None], b[:, None], both[idx], idx % L, reg
         half = n // 2
         la, lb = l[..., :half], l[..., half:]
         f = (jnp.sign(la) * jnp.sign(lb)
              * jnp.minimum(jnp.abs(la), jnp.abs(lb)))
-        u1, x1, m, p1 = dec(f, fro[:half], m)
+        u1, x1, m, p1, reg = dec(f, knd[:half], m, reg)
         la, lb = la[p1], lb[p1]
         g = lb + (1.0 - 2.0 * x1.astype(jnp.float32)) * la
-        u2, x2, m, p2 = dec(g, fro[half:], m)
+        u2, x2, m, p2, reg = dec(g, knd[half:], m, reg)
         u1, x1 = u1[p2], x1[p2]
         return (jnp.concatenate([u1, u2], -1),
-                jnp.concatenate([x1 ^ x2, x2], -1), m, p1[p2])
+                jnp.concatenate([x1 ^ x2, x2], -1), m, p1[p2], reg)
 
-    u_hat, _, metric, _ = dec(jnp.broadcast_to(l0, (L,) + l0.shape),
-                              frozen, m0)
+    u_hat, _, metric, _, _ = dec(jnp.broadcast_to(l0, (L,) + l0.shape),
+                                 kind, m0, reg0)
     order = jnp.argsort(metric)
     return u_hat[order][:, jnp.asarray(code.k_set)]
 
 
 def polar_decode(llr, code: PolarCode):
-    """Batched SC decode: llr [..., E] (positive => bit 1) -> bits [..., K]."""
+    """Batched SC decode: llr [..., E] (positive => bit 1) -> bits [..., K].
+
+    PC-bit codes route through the list decoder at L=1 (the PC register
+    needs sequential leaf state the plain recursion does not carry).
+    """
     import jax.numpy as jnp
 
+    if code.n_pc:
+        return polar_decode_list(llr, code, L=1)[0]
     ln = polar_rm_rx(llr, code)
     # classic convention internally: positive => bit 0
     l0 = -ln.astype(jnp.float32)

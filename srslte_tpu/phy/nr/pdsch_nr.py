@@ -23,6 +23,7 @@ from ..modem.modem import Modulation, demod_soft, modulate
 from .dlsch_nr import NrDlschConfig, nr_dlsch_decode, nr_dlsch_encode
 from .dmrs import dmrs_subcarriers, dmrs_values
 from .params import NSYMB_SLOT, NrCarrier
+from .ra_nr import NrGrant
 
 DMRS_SYMBOL = 2  # PDSCH mapping type A, single-symbol DMRS at l=2
 
@@ -33,33 +34,59 @@ def pdsch_nr_cinit(rnti: int, n_id: int, q: int = 0) -> int:
 
 @dataclass(frozen=True)
 class NrPdsch:
+    """Two operating modes: full-slot (legacy mcs_qm/rate fields) or
+    grant-based (`grant` set: PRB range + symbol span + 38.214 MCS/TBS,
+    as signaled by DCI 1_0 — ra_nr.c srsran_ra_nr_fill_tb)."""
+
     carrier: NrCarrier
-    mcs_qm: int = 6  # modulation order (2/4/6/8)
+    mcs_qm: int = 6  # modulation order (2/4/6/8), legacy full-slot mode
     rate: float = 0.5  # target code rate -> TBS = rate * available bits
     rnti: int = 0x4601
     slot: int = 0
+    grant: "NrGrant | None" = None
 
     @property
     def modulation(self) -> Modulation:
+        if self.grant is not None:
+            return self.grant.modulation
         return {2: Modulation.QPSK, 4: Modulation.QAM16, 6: Modulation.QAM64,
                 8: Modulation.QAM256}[self.mcs_qm]
+
+    @property
+    def _qm(self) -> int:
+        return self.grant.qm if self.grant is not None else self.mcs_qm
+
+    @property
+    def _sc_range(self) -> tuple[int, int]:
+        if self.grant is None:
+            return 0, self.carrier.nof_re
+        g = self.grant
+        return g.prb_start * 12, (g.prb_start + g.n_prb) * 12
+
+    @property
+    def _symbols(self) -> list[int]:
+        if self.grant is None:
+            return [l for l in range(NSYMB_SLOT) if l != DMRS_SYMBOL]
+        g = self.grant
+        return [l for l in range(g.start_sym, g.start_sym + g.n_sym)
+                if l != DMRS_SYMBOL]
 
     @functools.cached_property
     def re_idx(self) -> np.ndarray:
         """Data RE indices over the slot grid [NSYMB_SLOT, nof_re]."""
         nre = self.carrier.nof_re
-        idx = []
-        for l in range(NSYMB_SLOT):
-            if l == DMRS_SYMBOL:
-                continue
-            idx.append(l * nre + np.arange(nre))
+        k0, k1 = self._sc_range
+        idx = [l * nre + np.arange(k0, k1) for l in self._symbols]
         return np.concatenate(idx).astype(np.int32)
 
     @functools.cached_property
     def cfg(self) -> NrDlschConfig:
         from .dlsch_nr import nr_cbsegm
 
-        g = len(self.re_idx) * self.mcs_qm
+        g = len(self.re_idx) * self._qm
+        if self.grant is not None:
+            return NrDlschConfig(tbs=self.grant.tbs, G=g, Qm=self._qm,
+                                 rate=self.grant.rate, rv=self.grant.rv)
         tbs = int(g * self.rate) // 8 * 8  # simplified 38.214 TBS quantize
         # 38.214 TBS values make B divisible by C; our simplified quantizer
         # walks down until the segmentation divides evenly
@@ -91,9 +118,16 @@ class NrPdsch:
         grid = jnp.zeros(bits.shape[:-1] + (NSYMB_SLOT * nre,), jnp.complex64)
         grid = grid.at[..., jnp.asarray(self.re_idx)].set(sym)
         grid = grid.reshape(bits.shape[:-1] + (NSYMB_SLOT, nre))
-        ks = jnp.asarray(dmrs_subcarriers(self.carrier))
-        pil = jnp.asarray(dmrs_values(self.carrier, self.slot, DMRS_SYMBOL))
-        return grid.at[..., DMRS_SYMBOL, ks].set(pil)
+        ks, pil = self._dmrs()
+        return grid.at[..., DMRS_SYMBOL, jnp.asarray(ks)].set(jnp.asarray(pil))
+
+    def _dmrs(self) -> tuple[np.ndarray, np.ndarray]:
+        """DMRS comb positions + values restricted to the allocation."""
+        ks = dmrs_subcarriers(self.carrier)
+        pil = dmrs_values(self.carrier, self.slot, DMRS_SYMBOL)
+        k0, k1 = self._sc_range
+        sel = (ks >= k0) & (ks < k1)
+        return ks[sel], pil[sel]
 
     # -- UE side --------------------------------------------------------------
     @lazy_jit(static_argnums=(0,), static_argnames=("n_iter",))
@@ -105,24 +139,27 @@ class NrPdsch:
         """
         import jax.numpy as jnp
 
-        nre = self.carrier.nof_re
-        ks = jnp.asarray(dmrs_subcarriers(self.carrier))
-        pil = jnp.asarray(dmrs_values(self.carrier, self.slot, DMRS_SYMBOL))
+        ks_np, pil_np = self._dmrs()
+        ks, pil = jnp.asarray(ks_np), jnp.asarray(pil_np)
+        k0, k1 = self._sc_range
         ls = grid[..., DMRS_SYMBOL, ks] * jnp.conj(pil)  # |pil| = 1
-        # comb-2 -> full band: repeat each estimate onto its pair of SCs
-        ce = jnp.repeat(ls, 2, axis=-1)[..., :nre]
-        # light freq smoothing (3-tap)
-        ce = (ce + jnp.roll(ce, 1, -1) + jnp.roll(ce, -1, -1)) / 3.0
-        noise = jnp.mean(jnp.abs(ls[..., 1:] - ls[..., :-1]) ** 2, -1) / 2
+        # comb-2 -> allocation band by linear interpolation (a repeated
+        # stair-step estimate biases the odd subcarriers enough to break
+        # 256QAM on selective channels)
+        nxt = jnp.concatenate([ls[..., 1:], ls[..., -1:]], axis=-1)
+        ce = jnp.stack([ls, (ls + nxt) / 2], axis=-1)
+        ce = ce.reshape(ce.shape[:-2] + (-1,))[..., : k1 - k0]
+        noise = jnp.mean(jnp.abs(ls[..., 2:] + ls[..., :-2]
+                                 - 2 * ls[..., 1:-1]) ** 2, -1) / 6
 
         flat = grid.reshape(grid.shape[:-2] + (-1,))
         y = flat[..., jnp.asarray(self.re_idx)]
-        h = jnp.tile(ce, (NSYMB_SLOT - 1,))  # same CE every data symbol
+        h = jnp.tile(ce, (len(self._symbols),))  # same CE every data symbol
         xhat = equalize_zf(y, h)
         gain = jnp.abs(h) ** 2
         w = gain / jnp.maximum(noise[..., None], 1e-9)
         llr = demod_soft(xhat, self.modulation)
-        llr = llr * jnp.repeat(w, self.mcs_qm, axis=-1)
+        llr = llr * jnp.repeat(w, self._qm, axis=-1)
         # saturate like the reference's int8/int16 LLR paths: keeps the
         # filler-bit known-zero priors (-1e4 in rm_rx) dominant at high SNR
         llr = jnp.clip(llr, -1e3, 1e3)
