@@ -63,11 +63,14 @@ def reserved_mask(cell: Cell, cfi: int, has_pss_sss: bool, has_pbch: bool) -> np
 @functools.lru_cache(maxsize=None)
 def pdsch_re_indices(cell: Cell, prb_mask: tuple, cfi: int,
                      has_pss_sss: bool, has_pbch: bool,
-                     prb_mask_slot1: tuple | None = None) -> np.ndarray:
+                     prb_mask_slot1: tuple | None = None,
+                     last_symbol: int | None = None) -> np.ndarray:
     """Flattened grid indices (sym*nof_re + k), frequency-first then symbol.
 
     `prb_mask_slot1` (distributed-VRB slot hopping, 36.211 §6.2.3.2) selects
     a different PRB set for the odd slot's symbols; None = same both slots.
+    `last_symbol` truncates the mapping (TDD DwPTS: only the first
+    `nof_dw` symbols of a special subframe carry PDSCH).
     """
     o = cell.ofdm
     res = reserved_mask(cell, cfi, has_pss_sss, has_pbch)
@@ -81,22 +84,25 @@ def pdsch_re_indices(cell: Cell, prb_mask: tuple, cfi: int,
 
     sc0 = sc_mask(prb_mask)
     sc1 = sc0 if prb_mask_slot1 is None else sc_mask(prb_mask_slot1)
+    n_sym = o.nsymb_sf if last_symbol is None else min(last_symbol, o.nsymb_sf)
     idx = []
-    for l in range(o.nsymb_sf):
+    for l in range(n_sym):
         sc = sc0 if l < o.nsymb_slot else sc1
         ks = np.where(sc & ~res[l])[0]
         idx.append(l * o.nof_re + ks)
     return np.concatenate(idx).astype(np.int32)
 
 
-def nof_re_pdsch(cell: Cell, grant: DlGrant, sf_idx: int, cfi: int) -> int:
+def nof_re_pdsch(cell: Cell, grant: DlGrant, sf_idx: int, cfi: int,
+                 last_symbol: int | None = None) -> int:
     ps, pb = sf_flags(sf_idx)
     return len(pdsch_re_indices(cell, grant.prb_mask, cfi, ps, pb,
-                                grant.prb_mask_slot1))
+                                grant.prb_mask_slot1, last_symbol))
 
 
-def dlsch_config(cell: Cell, grant: DlGrant, sf_idx: int, cfi: int) -> DlschConfig:
-    n_re = nof_re_pdsch(cell, grant, sf_idx, cfi)
+def dlsch_config(cell: Cell, grant: DlGrant, sf_idx: int, cfi: int,
+                 last_symbol: int | None = None) -> DlschConfig:
+    n_re = nof_re_pdsch(cell, grant, sf_idx, cfi, last_symbol)
     return DlschConfig(tbs=grant.tbs, G=n_re * grant.modulation.bits_per_symbol,
                        Qm=grant.modulation.bits_per_symbol, rv=grant.rv)
 
@@ -110,16 +116,21 @@ class Pdsch:
     sf_idx: int
     cfi: int = 1
     rnti: int = 0x1234
+    # TDD special subframe: PDSCH maps only to the DwPTS symbols
+    # (SPECIAL_SF_SYMBOLS[ss_config][0]); pair with grant.is_dwpts for the
+    # 0.75-scaled TBS (36.213 §7.1.7)
+    dwpts_symbols: int | None = None
 
     @functools.cached_property
     def cfg(self) -> DlschConfig:
-        return dlsch_config(self.cell, self.grant, self.sf_idx, self.cfi)
+        return dlsch_config(self.cell, self.grant, self.sf_idx, self.cfi,
+                            self.dwpts_symbols)
 
     @functools.cached_property
     def re_idx(self) -> np.ndarray:
         ps, pb = sf_flags(self.sf_idx)
         return pdsch_re_indices(self.cell, self.grant.prb_mask, self.cfi, ps, pb,
-                                self.grant.prb_mask_slot1)
+                                self.grant.prb_mask_slot1, self.dwpts_symbols)
 
     @functools.cached_property
     def _map_inverse(self) -> np.ndarray:

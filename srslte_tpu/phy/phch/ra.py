@@ -62,6 +62,9 @@ class DlGrant:
     # Distributed VRB (36.211 §6.2.3.2): odd-numbered slot uses a different
     # PRB set (slot hopping).  None = same mask both slots (localized).
     prb_mask_slot1: tuple[bool, ...] | None = None
+    # TDD DwPTS grant: TBS looked up with max(1, 0.75 * n_prb)
+    # (36.213 §7.1.7, ra_dl.c:402-403)
+    is_dwpts: bool = False
 
     @property
     def n_prb(self) -> int:
@@ -77,7 +80,10 @@ class DlGrant:
     def tbs(self) -> int:
         if self.tbs_override is not None:
             return self.tbs_override
-        return dl_tbs(self.mcs, self.n_prb)
+        n_prb = self.n_prb
+        if self.is_dwpts:
+            n_prb = max(1, int(0.75 * n_prb))
+        return dl_tbs(self.mcs, n_prb)
 
     @staticmethod
     def full(cell_n_prb: int, mcs: int, rv: int = 0) -> "DlGrant":
