@@ -45,11 +45,34 @@ F1_DATA_SYMS = (0, 1, 5, 6)
 F1_DMRS_SYMS = (2, 3, 4)
 F2_DATA_SYMS = (0, 2, 3, 4, 6)
 F2_DMRS_SYMS = (1, 5)
+# extended CP (pucch.c pucch_symbol_*_cpext, refsignal_ul.c dmrs tables)
+F1_DATA_SYMS_EXT = (0, 1, 4, 5)
+F1_DMRS_SYMS_EXT = (2, 3)
+F2_DATA_SYMS_EXT = (0, 1, 2, 4, 5)
+F2_DMRS_SYMS_EXT = (3,)
+
+
+def f1_syms(cp: CP) -> tuple[tuple, tuple]:
+    """(data symbols, DMRS symbols) per slot for format 1/1a/1b."""
+    if cp is CP.NORM:
+        return F1_DATA_SYMS, F1_DMRS_SYMS
+    return F1_DATA_SYMS_EXT, F1_DMRS_SYMS_EXT
+
+
+def f2_syms(cp: CP) -> tuple[tuple, tuple]:
+    if cp is CP.NORM:
+        return F2_DATA_SYMS, F2_DMRS_SYMS
+    return F2_DATA_SYMS_EXT, F2_DMRS_SYMS_EXT
+
 
 # 36.211 tables 5.4.1-2/3: OCC phase arguments for N_sf=4 and N_sf=3
 _W_F1_DATA = np.array([[0, 0, 0, 0], [0, np.pi, 0, np.pi], [0, np.pi, np.pi, 0]])
+_W_F1_DATA_SF3 = np.array([[0, 0, 0], [0, 2 * np.pi / 3, 4 * np.pi / 3],
+                           [0, 4 * np.pi / 3, 2 * np.pi / 3]])
 _W_F1_DMRS = np.array([[0, 0, 0], [0, 2 * np.pi / 3, 4 * np.pi / 3],
                        [0, 4 * np.pi / 3, 2 * np.pi / 3]])
+# ext-CP DMRS OCC (refsignal_ul.c w_arg_pucch_format1_cpext)
+_W_F1_DMRS_EXT = np.array([[0, 0], [0, np.pi], [0, 0]])
 
 # 36.212 table 5.2.3.3-1: (20, 13) Reed-Muller basis
 _RM20_BASIS = np.array([
@@ -125,8 +148,11 @@ def _alpha_format1(cell: Cell, cfg: PucchConfig, ns: int, l: int):
             h = (n_prime + d) % (c * n_prime_res // cfg.delta_shift)
             n_prime = h // c + (h % c) * n_prime_res // cfg.delta_shift
     n_oc = n_prime * cfg.delta_shift // n_prime_res
-    ncs = (int(n_cs_cell(cell)[ns, l])
-           + (n_prime * cfg.delta_shift + n_oc % cfg.delta_shift) % n_prime_res) % NRE
+    if cell.cp is CP.NORM:
+        shift = (n_prime * cfg.delta_shift + n_oc % cfg.delta_shift)
+    else:  # extended CP uses the full n_oc term (pucch.c:1193)
+        shift = (n_prime * cfg.delta_shift + n_oc)
+    ncs = (int(n_cs_cell(cell)[ns, l]) + shift % n_prime_res) % NRE
     return 2 * np.pi * ncs / NRE, n_oc, n_prime
 
 
@@ -171,40 +197,49 @@ def _rseq(cell: Cell, alpha: float) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _format1_tables(cell: Cell, cfg_key: tuple, sf_idx: int):
-    """(data_seq [2,4,12], dmrs_seq [2,3,12], prb [2]) — d0-independent."""
+def _format1_tables(cell: Cell, cfg_key: tuple, sf_idx: int,
+                    shortened: bool = False):
+    """(data_seq [2][N_sf,12], dmrs_seq [2][N_rs,12], prb [2]) — d0-free.
+
+    `shortened`: SRS-colliding subframe — slot 1 drops its last data symbol
+    and spreads with the N_sf=3 OCC (pucch.c get_N_sf)."""
     cfg = PucchConfig(*cfg_key)
+    dsy, msy = f1_syms(cell.cp)
+    wdm = _W_F1_DMRS if cell.cp is CP.NORM else _W_F1_DMRS_EXT
     data, dmrs, prbs = [], [], []
     for slot in range(2):
         ns = 2 * sf_idx + slot
         prbs.append(pucch_prb(cell, cfg, ns))
+        d_slot = dsy[:-1] if (shortened and slot == 1) else dsy
+        wdat = _W_F1_DATA_SF3 if (shortened and slot == 1) else _W_F1_DATA
         drow, mrow = [], []
-        for m, l in enumerate(F1_DATA_SYMS):
+        for m, l in enumerate(d_slot):
             alpha, n_oc, n_prime = _alpha_format1(cell, cfg, ns, l)
             s_ns = np.pi / 2 if n_prime % 2 else 0.0
-            w = np.exp(1j * (_W_F1_DATA[n_oc % 3][m] + s_ns))
+            w = np.exp(1j * (wdat[n_oc % 3][m] + s_ns))
             drow.append(_rseq(cell, alpha) * w)
-        for m, l in enumerate(F1_DMRS_SYMS):
+        for m, l in enumerate(msy):
             alpha, n_oc, _ = _alpha_format1(cell, cfg, ns, l)
-            w = np.exp(1j * _W_F1_DMRS[n_oc % 3][m])
+            w = np.exp(1j * wdm[n_oc % 3][m])
             mrow.append(_rseq(cell, alpha) * w)
-        data.append(np.stack(drow))
-        dmrs.append(np.stack(mrow))
-    return np.stack(data).astype(np.complex64), np.stack(dmrs).astype(np.complex64), prbs
+        data.append(np.stack(drow).astype(np.complex64))
+        dmrs.append(np.stack(mrow).astype(np.complex64))
+    return data, dmrs, prbs
 
 
 @functools.lru_cache(maxsize=None)
 def _format2_tables(cell: Cell, cfg_key: tuple, sf_idx: int):
     """(data_seq [2,5,12], dmrs_seq [2,2,12], prb [2])."""
     cfg = PucchConfig(*cfg_key)
+    dsy, msy = f2_syms(cell.cp)
     data, dmrs, prbs = [], [], []
     for slot in range(2):
         ns = 2 * sf_idx + slot
         prbs.append(pucch_prb(cell, cfg, ns))
         data.append(np.stack([_rseq(cell, _alpha_format2(cell, cfg, ns, l))
-                              for l in F2_DATA_SYMS]))
+                              for l in dsy]))
         dmrs.append(np.stack([_rseq(cell, _alpha_format2(cell, cfg, ns, l))
-                              for l in F2_DMRS_SYMS]))
+                              for l in msy]))
     return np.stack(data).astype(np.complex64), np.stack(dmrs).astype(np.complex64), prbs
 
 
@@ -215,36 +250,54 @@ def _f2_scramble_signed(cell: Cell, rnti: int, sf_idx: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _format3_tables(cell: Cell, cfg_key: tuple, sf_idx: int):
-    """(enc [2 slots, 5, 12, 12], dmrs [2, 2, 12], prb [2]).
+def _format3_tables(cell: Cell, cfg_key: tuple, sf_idx: int,
+                    shortened: bool = False):
+    """(enc [2 slots][N_sf, 12, 12], dmrs [2][N_rs, 12], prb [2]).
 
-    enc[slot, m] maps the slot's 12 QPSK symbols d -> the 12 REs of data
+    enc[slot][m] maps the slot's 12 QPSK symbols d -> the 12 REs of data
     SC-FDMA symbol m:  z_k = h_m / sqrt(12) * sum_j e^{-j2pi((j-ncs)%12)k/12} d_j
     (spreading weight + phase ramp + cyclic shift + DFT precode folded into
     one matrix; unitary up to the |h_m| = 1 factor).
+
+    `shortened`: slot 1 drops the last symbol and spreads with the length-4
+    Walsh OCC (pucch.c pucch3_w_n_oc_4, n_oc scaled by N_sf/5).
     """
     cfg = PucchConfig(*cfg_key)
     ncs_tab = n_cs_cell(cell)
-    n_sf1 = 5  # non-shortened, normal CP
-    n_oc = (cfg.n_pucch % n_sf1, (3 * cfg.n_pucch) % n_sf1)
+    dsy, msy = f2_syms(cell.cp)
     k = np.arange(NRE)
     dft = np.exp(-2j * np.pi * np.outer(k, k) / NRE) / np.sqrt(NRE)
     enc, dmrs, prbs = [], [], []
     for slot in range(2):
         ns = 2 * sf_idx + slot
         prbs.append(pucch_prb(cell, cfg, ns))
+        short_slot = shortened and slot == 1
+        d_slot = dsy[:-1] if short_slot else dsy
+        n_sf = len(d_slot)
+        if slot == 0:
+            n_oc = cfg.n_pucch % 5
+        else:
+            n_oc = (3 * cfg.n_pucch) % 5
+            if short_slot:  # map the length-5 index onto the Walsh-4 set
+                n_oc = n_oc % 4
         mats = []
-        for m, l in enumerate(F2_DATA_SYMS):
+        for m, l in enumerate(d_slot):
             ncs = int(ncs_tab[ns, l])
-            h = (np.exp(2j * np.pi * n_oc[slot] * m / n_sf1)
-                 * np.exp(1j * np.pi * (ncs // 64) / 2))
+            if short_slot:
+                # Walsh-4 rows are real ±1: phase = pi * popcount pattern
+                walsh = np.array([[1, 1, 1, 1], [1, -1, 1, -1],
+                                  [1, 1, -1, -1], [1, -1, -1, 1]])
+                h = (walsh[n_oc][m]
+                     * np.exp(1j * np.pi * (ncs // 64) / 2))
+            else:
+                h = (np.exp(2j * np.pi * n_oc * m / 5)
+                     * np.exp(1j * np.pi * (ncs // 64) / 2))
             # column j of the precode DFT picks input index (j - ncs) % 12
             mats.append(h * dft[:, (k - ncs) % NRE])
-        enc.append(np.stack(mats))
+        enc.append(np.stack(mats).astype(np.complex64))
         dmrs.append(np.stack([_rseq(cell, _alpha_format2(cell, cfg, ns, l))
-                              for l in F2_DMRS_SYMS]))
-    return (np.stack(enc).astype(np.complex64),
-            np.stack(dmrs).astype(np.complex64), prbs)
+                              for l in msy]).astype(np.complex64))
+    return enc, dmrs, prbs
 
 
 def _d_ack(bits: tuple) -> complex:
@@ -264,10 +317,15 @@ class Pucch:
     cfg: PucchConfig
     sf_idx: int
     rnti: int = 0
+    # SRS-colliding (cell-specific SRS subframe): slot 1 is shortened by one
+    # symbol for formats 1/1a/1b/3 (36.211 §5.4.1, pucch.c get_N_sf)
+    shortened: bool = False
 
     def __post_init__(self):
-        if self.cell.cp is not CP.NORM:
-            raise NotImplementedError("extended-CP PUCCH not yet supported")
+        if self.cell.cp is CP.EXT and self.cfg.fmt in ("2a", "2b"):
+            raise ValueError("formats 2a/2b are not defined for extended CP")
+        if self.shortened and not (self.cfg.is_format1 or self.cfg.fmt == "3"):
+            raise ValueError("shortened subframes apply to formats 1*/3 only")
 
     @property
     def _key(self):
@@ -289,38 +347,47 @@ class Pucch:
         if grid is None:
             grid = jnp.zeros((o.nsymb_sf, o.nof_re), jnp.complex64)
         if self.cfg.is_format1:
-            data, dmrs, prbs = _format1_tables(self.cell, self._key, self.sf_idx)
+            data, dmrs, prbs = _format1_tables(self.cell, self._key,
+                                               self.sf_idx, self.shortened)
             d0 = _d_ack(tuple(ack_bits))
-            dsy, msy = F1_DATA_SYMS, F1_DMRS_SYMS
-            dvals = jnp.asarray(data) * d0
-            mvals = jnp.asarray(dmrs)
+            dsy, msy = f1_syms(self.cell.cp)
+            dvals = [jnp.asarray(d) * d0 for d in data]
+            mvals = [jnp.asarray(m) for m in dmrs]
         elif self.cfg.fmt == "3":
             from ..fec.block import block_encode
 
-            enc, dmrs, prbs = _format3_tables(self.cell, self._key, self.sf_idx)
+            enc, dmrs, prbs = _format3_tables(self.cell, self._key,
+                                              self.sf_idx, self.shortened)
             cw = block_encode(np.asarray(ack_bits, np.uint8), 48)
             s = _f2_scramble_signed(self.cell, self.rnti, self.sf_idx, 48)
             sym = modulate(jnp.asarray(cw ^ (s < 0).astype(np.uint8)),
                            Modulation.QPSK)
             d = sym.reshape(2, NRE)  # slot 0 / slot 1 blocks
-            dsy, msy = F2_DATA_SYMS, F2_DMRS_SYMS
-            dvals = jnp.einsum("smkj,sj->smk", jnp.asarray(enc), d)
-            mvals = jnp.asarray(dmrs)
+            dsy, msy = f2_syms(self.cell.cp)
+            dvals = [jnp.einsum("mkj,j->mk", jnp.asarray(enc[s_]), d[s_])
+                     for s_ in range(2)]
+            mvals = [jnp.asarray(m) for m in dmrs]
         else:
             data, dmrs, prbs = _format2_tables(self.cell, self._key, self.sf_idx)
             cw = rm20_encode(np.asarray(cqi_bits, np.uint8))
             s = _f2_scramble_signed(self.cell, self.rnti, self.sf_idx)
             sym = modulate(jnp.asarray((cw ^ (s < 0).astype(np.uint8))),
                            Modulation.QPSK)
-            dsy, msy = F2_DATA_SYMS, F2_DMRS_SYMS
-            dvals = jnp.asarray(data) * sym.reshape(2, 5)[..., None]
-            d10 = _d_ack(tuple(ack_bits))
+            dsy, msy = f2_syms(self.cell.cp)
+            n_d = len(dsy)
+            dvals = [jnp.asarray(data[s_]) * sym.reshape(2, n_d)[s_, :, None]
+                     for s_ in range(2)]
             dm = dmrs.copy()
-            dm[:, 1, :] *= d10  # 2a/2b: second DMRS symbol carries the ACK
-            mvals = jnp.asarray(dm)
+            if self.cfg.nof_ack_bits:
+                # 2a/2b: second DMRS symbol carries the ACK (normal CP only)
+                dm[:, 1, :] = dm[:, 1, :] * _d_ack(tuple(ack_bits))
+            mvals = [jnp.asarray(dm[s_]) for s_ in range(2)]
         for slot in range(2):
             k0 = prbs[slot] * NRE
-            ls_d = np.asarray(dsy) + slot * o.nsymb_slot
+            d_slot = (dsy[:-1] if (self.shortened and slot == 1
+                                   and dvals[slot].shape[0] == len(dsy) - 1)
+                      else dsy)
+            ls_d = np.asarray(d_slot) + slot * o.nsymb_slot
             ls_m = np.asarray(msy) + slot * o.nsymb_slot
             grid = grid.at[..., ls_d[:, None], k0 + np.arange(NRE)[None, :]].set(
                 dvals[slot])
@@ -342,12 +409,15 @@ class Pucch:
         import jax.numpy as jnp
 
         if self.cfg.is_format1:
-            data, dmrs, prbs = _format1_tables(self.cell, self._key, self.sf_idx)
+            data, dmrs, prbs = _format1_tables(self.cell, self._key,
+                                               self.sf_idx, self.shortened)
+            dsy, msy = f1_syms(self.cell.cp)
             corr = 0.0 + 0j
             energy = 0.0
             for slot in range(2):
-                y_d = self._slot_res(grid, slot, prbs[slot], F1_DATA_SYMS)
-                y_m = self._slot_res(grid, slot, prbs[slot], F1_DMRS_SYMS)
+                d_slot = (dsy[:-1] if (self.shortened and slot == 1) else dsy)
+                y_d = self._slot_res(grid, slot, prbs[slot], d_slot)
+                y_m = self._slot_res(grid, slot, prbs[slot], msy)
                 h = jnp.mean(y_m * jnp.conj(jnp.asarray(dmrs[slot])), axis=(-1, -2))
                 z = jnp.mean(y_d * jnp.conj(jnp.asarray(data[slot])), axis=(-1, -2))
                 corr = corr + z * jnp.conj(h)
@@ -369,16 +439,21 @@ class Pucch:
         if self.cfg.fmt == "3":
             from ..fec.block import block_decode
 
-            enc, dmrs, prbs = _format3_tables(self.cell, self._key, self.sf_idx)
+            enc, dmrs, prbs = _format3_tables(self.cell, self._key,
+                                              self.sf_idx, self.shortened)
+            dsy3, msy3 = f2_syms(self.cell.cp)
             ds = []
             for slot in range(2):
-                y_d = self._slot_res(grid, slot, prbs[slot], F2_DATA_SYMS)
-                y_m = self._slot_res(grid, slot, prbs[slot], F2_DMRS_SYMS)
+                d_slot = (dsy3[:-1] if (self.shortened and slot == 1)
+                          else dsy3)
+                y_d = self._slot_res(grid, slot, prbs[slot], d_slot)
+                y_m = self._slot_res(grid, slot, prbs[slot], msy3)
                 h = jnp.mean(y_m * jnp.conj(jnp.asarray(dmrs[slot])),
                              axis=(-1, -2))
                 # enc[slot] is unitary per symbol: despread is the adjoint
                 d = jnp.einsum("mkj,...mk->...j",
-                               jnp.conj(jnp.asarray(enc[slot])), y_d) / 5.0
+                               jnp.conj(jnp.asarray(enc[slot])),
+                               y_d) / len(d_slot)
                 ds.append(d * jnp.conj(h)[..., None])
             q = jnp.concatenate(ds, axis=-1)  # [..., 24] QPSK estimates
             llr = demod_soft(q, Modulation.QPSK)  # [..., 48]
@@ -390,10 +465,11 @@ class Pucch:
                         jnp.sum(jnp.abs(llr), -1), 1e-9)}
 
         data, dmrs, prbs = _format2_tables(self.cell, self._key, self.sf_idx)
+        dsy2, msy2 = f2_syms(self.cell.cp)
         zs, hs = [], []
         for slot in range(2):
-            y_d = self._slot_res(grid, slot, prbs[slot], F2_DATA_SYMS)
-            y_m = self._slot_res(grid, slot, prbs[slot], F2_DMRS_SYMS)
+            y_d = self._slot_res(grid, slot, prbs[slot], dsy2)
+            y_m = self._slot_res(grid, slot, prbs[slot], msy2)
             h_sym = y_m * jnp.conj(jnp.asarray(dmrs[slot]))  # [..., 2, 12]
             h = jnp.mean(h_sym[..., 0, :], axis=-1)  # first DMRS: always clean
             z = jnp.mean(y_d * jnp.conj(jnp.asarray(data[slot])), axis=-1)

@@ -16,8 +16,10 @@ Reference behavior:
   repetition bit equals the previous bit's *scrambled* value and
   placeholders scramble to 1 (uci.c encode_ri_ack:459).  2-bit spans three
   groups [o0,o1] [o2,o0] [o1,o2] with o2 = o0^o1.  CQI <= 11 bits uses the
-  (32, O) block code (encode_cqi_short); the long CRC8+conv variant is not
-  implemented yet.
+  (32, O) block code (encode_cqi_short); 12+ bits the CRC8 + tail-biting
+  convolutional long form (encode_cqi_long).  3..10-bit ACK/RI use the
+  (32, O) block code cyclically filling every Qm bit of the reserved
+  groups (uci.c encode_ack_long).
 
 TPU-first: every position above is a host-precomputed int32 index array per
 (grant, UCI-config) bucket, so multiplexing is two scatters on the encode
@@ -32,7 +34,10 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..fec.block import block_decode, block_encode
+from ..fec.block import _basis, block_decode, block_encode
+from ..fec.convolutional import (conv_encode_np, rm_conv_indices, rm_conv_rx,
+                                 viterbi_decode)
+from ..fec.crc import LTE_CRC8, crc_bits, crc_matrix
 
 # 36.213 table 8.6.3-1 (HARQ-ACK), -2 (RI), -3 (CQI) beta offsets
 BETA_ACK = (2.0, 2.5, 3.125, 4.0, 5.0, 6.25, 8.0, 10.0, 12.625, 15.875,
@@ -55,20 +60,21 @@ _VAL1 = (1, 0, 2)
 class UciCfgUl:
     """UCI payload sizes + beta offset indices for one PUSCH transmission."""
 
-    o_ack: int = 0  # 0 | 1 | 2 HARQ-ACK bits
-    o_ri: int = 0  # 0 | 1 | 2 RI bits
-    o_cqi: int = 0  # 0..11 CQI/PMI bits (block-coded)
+    o_ack: int = 0  # 0..10 HARQ-ACK bits (>2 = block-coded long form)
+    o_ri: int = 0  # 0..10 RI bits
+    o_cqi: int = 0  # 0..64 CQI/PMI bits (>11 = CRC8+conv long form)
     i_ack: int = 10  # I_offset^HARQ-ACK
     i_ri: int = 7  # I_offset^RI
     i_cqi: int = 8  # I_offset^CQI
 
     def __post_init__(self):
-        if self.o_ack > 2 or self.o_ri > 2:
-            raise NotImplementedError("ACK/RI payloads > 2 bits (block-coded "
-                                      "long form) not yet supported")
-        if self.o_cqi > 11:
-            raise NotImplementedError("CQI > 11 bits (CRC8+conv long form) "
-                                      "not yet supported")
+        # long forms (36.212 §5.2.2.6): 3..10-bit ACK/RI use the (32, O)
+        # block code over all Qm bits of the reserved groups; 12+-bit CQI
+        # uses CRC8 + tail-biting convolutional coding
+        if self.o_ack > 10 or self.o_ri > 10:
+            raise ValueError("ACK/RI payloads > 10 bits not defined")
+        if self.o_cqi > 64:
+            raise ValueError("CQI payloads > 64 bits not supported")
 
     @property
     def has_uci(self) -> bool:
@@ -163,6 +169,8 @@ def uci_plan(m_sc: int, n_symb: int, qm: int, k_segm: int,
                 ph.append(bits(groups, range(2, qm)).reshape(-1))
         elif o == 2 and qm > 2:
             ph.append(bits(groups, range(2, qm)).reshape(-1))
+        # o > 2: long form fills every bit of the group with coded bits —
+        # no repetition/placeholder fixups
 
     def valmap(o, q):
         if q == 0:
@@ -175,21 +183,37 @@ def uci_plan(m_sc: int, n_symb: int, qm: int, k_segm: int,
 
     cat = (lambda xs: np.concatenate(xs).astype(np.int32) if xs
            else np.zeros(0, np.int32))
+
+    def payload_bits(o, groups):
+        # long form (o > 2) fills every Qm bit of each reserved group
+        if o > 2:
+            return bits(groups, range(qm))
+        return bits(groups, (0, 1) if qm > 1 else (0,))
+
     return UciPlan(
         qm=qm, g_total=h_total * qm, q_ri=q_ri, q_ack=q_ack,
         n_cqi_bits=n_cqi_bits, g_data=g_data,
         fill_bitpos=bits(fill_g, range(qm)).reshape(-1),
-        ri_b=bits(ri_g, (0, 1) if qm > 1 else (0,)),
+        ri_b=payload_bits(cfg.o_ri, ri_g),
         ri_val=valmap(cfg.o_ri, q_ri),
-        ack_b=bits(ack_g, (0, 1) if qm > 1 else (0,)),
+        ack_b=payload_bits(cfg.o_ack, ack_g),
         ack_val=valmap(cfg.o_ack, q_ack),
         ack_bits_all=bits(ack_g, range(qm)).reshape(-1),
         rep_pos=cat(rep), ph_pos=cat(ph))
 
 
 def encode_cqi(bits, n_coded: int):
-    """CQI payload [..., O<=11] -> coded bits [..., n_coded] (block code)."""
-    return block_encode(np.asarray(bits, np.uint8), n_coded)
+    """CQI payload [..., O] -> coded bits [..., n_coded].
+
+    O <= 11: (32, O) block code; O >= 12: CRC8 + tail-biting convolutional
+    long form (uci.c encode_cqi_long)."""
+    bits = np.asarray(bits, np.uint8)
+    o = bits.shape[-1]
+    if o <= 11:
+        return block_encode(bits, n_coded)
+    payload = np.concatenate([bits, crc_bits(bits, *LTE_CRC8)])
+    k = o + 8
+    return conv_encode_np(payload)[rm_conv_indices(3 * k, n_coded)]
 
 
 def mux_stream(plan: UciPlan, cqi_data, ri=None, ack=None):
@@ -208,7 +232,19 @@ def mux_stream(plan: UciPlan, cqi_data, ri=None, ack=None):
         if o_bits is None or b.shape[0] == 0:
             continue
         o_bits = jnp.asarray(o_bits).astype(out.dtype)
-        vec = (o_bits if o_bits.shape[-1] == 1 else
+        o = o_bits.shape[-1]
+        if o > 2:
+            # long form: (32, O) block code, cyclically filling the groups
+            basis = jnp.asarray(_basis()[:, :o], jnp.int32)
+            coded = (jnp.matmul(o_bits.astype(jnp.int32), basis.T,
+                                preferred_element_type=jnp.int32)
+                     & 1).astype(out.dtype)
+            nb = b.size
+            reps = -(-nb // 32)
+            seq = jnp.tile(coded, (1,) * (coded.ndim - 1) + (reps,))[..., :nb]
+            out = out.at[..., jnp.asarray(b.reshape(-1))].set(seq)
+            continue
+        vec = (o_bits if o == 1 else
                jnp.concatenate([o_bits, (o_bits[..., :1] ^ o_bits[..., 1:2])],
                                -1))
         nb = b.shape[1]
@@ -242,6 +278,13 @@ def demux_llr(plan: UciPlan, llr_desc, c_seq: np.ndarray, cfg: UciCfgUl):
                                ("ack", cfg.o_ack, plan.ack_b, plan.ack_val,
                                 plan.q_ack)):
         if o == 0 or q == 0:
+            continue
+        if o > 2:
+            # long form: fold the group bits onto the (32, O) codeword
+            seq = llr_desc[..., b.reshape(-1)]
+            bits_, metric = block_decode(seq, o)
+            out[name] = bits_.astype(jnp.uint8)
+            out[f"{name}_metric"] = metric
             continue
         g = llr_desc[..., b.reshape(-1)].reshape(llr_desc.shape[:-1]
                                                  + b.shape)
@@ -277,8 +320,23 @@ def demux_llr(plan: UciPlan, llr_desc, c_seq: np.ndarray, cfg: UciCfgUl):
     src = llr_desc[..., plan.fill_bitpos]
     if plan.n_cqi_bits:
         cqi_llr = src[..., : plan.n_cqi_bits]
-        bits, metric = block_decode(cqi_llr, cfg.o_cqi)
-        out["cqi"] = bits
-        out["cqi_metric"] = metric
+        if cfg.o_cqi <= 11:
+            bits, metric = block_decode(cqi_llr, cfg.o_cqi)
+            out["cqi"] = bits
+            out["cqi_metric"] = metric
+        else:
+            # long form: de-rate-match + Viterbi + CRC8 check
+            k = cfg.o_cqi + 8
+            de_rm = rm_conv_rx(cqi_llr, 3 * k)
+            flat = de_rm.reshape((-1, de_rm.shape[-1]))
+            dec = viterbi_decode(flat, k)
+            dec = dec.reshape(de_rm.shape[:-1] + (k,))
+            gmat = jnp.asarray(crc_matrix(cfg.o_cqi, *LTE_CRC8), jnp.int8)
+            calc = jnp.matmul(dec[..., : cfg.o_cqi].astype(jnp.int8), gmat,
+                              preferred_element_type=jnp.int32) & 1
+            crc_ok = jnp.all(calc == dec[..., cfg.o_cqi :].astype(jnp.int32),
+                             axis=-1)
+            out["cqi"] = dec[..., : cfg.o_cqi]
+            out["cqi_metric"] = crc_ok.astype(jnp.float32)
     out["data_llr"] = src[..., plan.n_cqi_bits :]
     return out

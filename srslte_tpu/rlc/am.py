@@ -10,9 +10,10 @@ segments with LSF/SO, 36.322 §6.2.1.5, rlc_am_lte.cc build_segment):
 the receiver reconstructs the original PDU's data field byte-by-byte from
 the SO offsets and recovers SDU boundaries from each segment's own LIs.
 
-Not yet implemented vs the reference: SO-granular STATUS NACKs (E2=1) —
-NACKs always cover whole SNs, so a partially-received PDU is retransmitted
-in full (still interoperable; just less efficient on very lossy links).
+SO-granular STATUS NACKs (E2=1, 36.322 §6.2.2.5): a receiver holding only
+parts of a re-segmented PDU NACKs just the missing byte ranges
+(SOstart/SOend, with the 0x7FFF open-tail marker), and the transmitter
+retransmits exactly those ranges as RF=1 segments.
 """
 
 from __future__ import annotations
@@ -111,30 +112,54 @@ def unpack_amd(raw: bytes):
     return AmdPdu(sn, fi, poll, segs)
 
 
+SO_END_ALL = 0x7FFF  # SOend special value: "through the last byte" (36.322)
+
+
 def pack_status(ack_sn: int, nacks: list) -> bytes:
-    """STATUS PDU: D/C + CPT + ACK_SN, then E1-chained NACK_SN entries."""
+    """STATUS PDU (36.322 §6.2.2.5): ACK_SN, E1, then chained NACK entries
+    NACK_SN + E1 + E2 [+ SOstart(15) + SOend(15) when E2 = 1].
+
+    `nacks` entries are either a bare SN (whole PDU missing) or a tuple
+    (sn, so_start, so_end) for a byte-range NACK (rlc_am_lte.cc STATUS with
+    segment offsets).
+    """
     w = BitWriter()
     w.put(0, 1)  # D/C = control
     w.put(0, 3)  # CPT = STATUS
     w.put(ack_sn, 10)
-    for n in nacks:
-        w.put(1, 1)  # E1: a NACK follows
-        w.put(n, 10)
-        w.put(0, 1)  # E2: no segment offsets
-    w.put(0, 1)  # E1 = 0: done
+    w.put(1 if nacks else 0, 1)  # E1 after ACK_SN
+    for i, n in enumerate(nacks):
+        if isinstance(n, tuple):
+            sn, so_start, so_end = n
+        else:
+            sn, so_start, so_end = n, None, None
+        w.put(sn, 10)
+        w.put(1 if i + 1 < len(nacks) else 0, 1)  # E1: another NACK follows
+        w.put(1 if so_start is not None else 0, 1)  # E2: SO fields follow
+        if so_start is not None:
+            w.put(so_start, 15)
+            w.put(so_end, 15)
     return w.to_bytes()
 
 
 def unpack_status(raw: bytes):
+    """-> (ack_sn, [sn | (sn, so_start, so_end), ...])."""
     r = BitReader(raw)
     assert r.get(1) == 0
     assert r.get(3) == 0
     ack_sn = r.get(10)
     nacks = []
-    while r.get(1):
-        nacks.append(r.get(10))
+    more = r.get(1)
+    while more:
+        sn = r.get(10)
+        more = r.get(1)
         e2 = r.get(1)
-        assert e2 == 0, "NACK segment offsets not supported"
+        if e2:
+            so_start = r.get(15)
+            so_end = r.get(15)
+            nacks.append((sn, so_start, so_end))
+        else:
+            nacks.append(sn)
     return ack_sn, nacks
 
 
@@ -156,8 +181,14 @@ class RlcAm:
     _tx_window: dict = field(default_factory=dict)  # sn -> (raw, n_tx, pdu)
     _retx: deque = field(default_factory=deque)
     _seg_so: dict = field(default_factory=dict)  # sn -> next resume offset
+    _retx_range: dict = field(default_factory=dict)  # sn -> [(so_s, so_e)..]
     _pdus_since_poll: int = 0
     max_retx_reached: bool = False
+    # t-PollRetransmit (36.322 §5.2.2.3): re-poll when a STATUS never comes
+    t_poll_retx: int = 4
+    _poll_t_active: bool = False
+    _poll_t_count: int = 0
+    _poll_sn: int = 0  # SN of the last PDU sent with poll = 1
     # RX state
     _rx_window: dict = field(default_factory=dict)
     _vr_r: int = 0  # next SN expected in sequence
@@ -198,14 +229,39 @@ class RlcAm:
                 self._do_status = False
                 self._status_wait = self.t_status_prohibit
                 return pdu
-        # 2. retransmissions (re-segmented if the grant shrank)
+        # 2. retransmissions (re-segmented if the grant shrank; byte-range
+        #    only when the peer sent SO-granular NACKs)
         while self._retx:
             sn = self._retx[0]
             ent = self._tx_window.get(sn)
             if ent is None:
                 self._retx.popleft()
+                self._retx_range.pop(sn, None)
                 continue
             raw, n_tx, pdu = ent
+            ranges = self._retx_range.get(sn)
+            if ranges:
+                total = sum(len(s) for s in pdu.segments)
+                start, end_inc = ranges[0]
+                end = total if end_inc >= SO_END_ALL else min(end_inc + 1,
+                                                              total)
+                so = self._seg_so.get(sn, start)
+                seg = self._build_segment(pdu, so, nof_bytes, cap=end)
+                if seg is None:
+                    return None
+                seg_end = seg.so + sum(len(s) for s in seg.segments)
+                if seg_end >= end:
+                    ranges.pop(0)
+                    self._seg_so.pop(sn, None)
+                    if not ranges:
+                        self._retx_range.pop(sn, None)
+                        self._retx.popleft()
+                        if n_tx + 1 >= self.max_retx:
+                            self.max_retx_reached = True
+                        self._tx_window[sn] = (raw, n_tx + 1, pdu)
+                else:
+                    self._seg_so[sn] = seg_end
+                return pack_amd_seg(seg)
             so = self._seg_so.get(sn, 0)
             if so == 0 and len(raw) <= nof_bytes:
                 self._retx.popleft()
@@ -264,12 +320,16 @@ class RlcAm:
         pdu = AmdPdu(sn, fi, poll, segs)
         raw = pack_amd(pdu)
         self._tx_window[sn] = (raw, 1, pdu)
+        if poll:
+            self._poll_t_active, self._poll_t_count = True, 0
+            self._poll_sn = sn
         return raw
 
-    def _build_segment(self, pdu: AmdPdu, so: int,
-                       nof_bytes: int) -> AmdSegPdu | None:
+    def _build_segment(self, pdu: AmdPdu, so: int, nof_bytes: int,
+                       cap: int | None = None) -> AmdSegPdu | None:
         """Largest RF=1 segment of pdu's data field starting at so that
-        fits in nof_bytes (fixed header 4B + 12 bits per extra LI)."""
+        fits in nof_bytes (fixed header 4B + 12 bits per extra LI).
+        `cap` bounds the segment end (SO-granular retransmission)."""
         data = b"".join(pdu.segments)
         total = len(data)
         bounds = []  # byte offsets where a new SDU starts (excl. 0/total)
@@ -277,7 +337,8 @@ class RlcAm:
         for s in pdu.segments[:-1]:
             pos += len(s)
             bounds.append(pos)
-        take = min(nof_bytes - 4, total - so)
+        limit = total if cap is None else min(cap, total)
+        take = min(nof_bytes - 4, limit - so)
         for _ in range(8):  # shrink until LI overhead fits (converges fast)
             if take <= 0:
                 return None
@@ -303,9 +364,36 @@ class RlcAm:
         sn = self._vr_r
         while sn != self._vr_h:
             if sn not in self._rx_window:
-                nacks.append(sn)
+                ranges = self._missing_ranges(sn)
+                if ranges is None:
+                    nacks.append(sn)  # nothing of this SN arrived
+                else:
+                    nacks.extend((sn, a, b) for a, b in ranges)
             sn = (sn + 1) % SN_MOD
         return pack_status(self._vr_h, nacks)
+
+    def _missing_ranges(self, sn: int) -> list | None:
+        """Byte ranges of sn not yet received (SO-granular NACK payloads),
+        as inclusive (so_start, so_end) with SO_END_ALL for an open tail.
+        None when no segment of sn has arrived at all."""
+        parts = self._rx_segs.get(sn)
+        if not parts:
+            return None
+        ivs = sorted((p.so, p.so + sum(len(s) for s in p.segments))
+                     for p in parts.values())
+        lsf = next((p for p in parts.values() if p.lsf), None)
+        total = (lsf.so + sum(len(s) for s in lsf.segments)) if lsf else None
+        out = []
+        cur = 0
+        for a, b in ivs:
+            if a > cur:
+                out.append((cur, a - 1))
+            cur = max(cur, b)
+        if total is None:
+            out.append((cur, SO_END_ALL))
+        elif cur < total:
+            out.append((cur, total - 1))
+        return out
 
     # ---- RX -------------------------------------------------------------
     def write_pdu(self, raw: bytes):
@@ -321,6 +409,13 @@ class RlcAm:
         if isinstance(pdu, AmdSegPdu):
             whole = self._collect_segment(pdu)
             if whole is None:
+                # a received *portion* still advances VR(H) and arms
+                # t-Reordering (36.322 §5.1.3.2.1 counts byte segments)
+                if not self._lt(sn, self._vr_h):
+                    self._vr_h = (sn + 1) % SN_MOD
+                if self._vr_r != self._vr_h and not self._t_active:
+                    self._t_active, self._t_count = True, 0
+                    self._vr_x = self._vr_h
                 if pdu.poll:
                     self._do_status = True
                 return  # not yet complete
@@ -380,17 +475,33 @@ class RlcAm:
 
     def _handle_status(self, raw: bytes):
         ack_sn, nacks = unpack_status(raw)
+        nack_sns = set()
+        ranges: dict[int, list] = {}
+        for n in nacks:
+            if isinstance(n, tuple):
+                nack_sns.add(n[0])
+                ranges.setdefault(n[0], []).append((n[1], n[2]))
+            else:
+                nack_sns.add(n)
         sn = self._vt_a
         while sn != ack_sn:
-            if sn in nacks:
+            if sn in nack_sns:
                 if sn not in self._retx:
                     self._retx.append(sn)
+                if sn in ranges:
+                    self._retx_range[sn] = ranges[sn]
+                else:
+                    self._retx_range.pop(sn, None)  # whole-PDU NACK wins
             else:
                 self._tx_window.pop(sn, None)
             sn = (sn + 1) % SN_MOD
         # advance vt_a past contiguously acked PDUs
-        while self._vt_a != ack_sn and self._vt_a not in nacks:
+        while self._vt_a != ack_sn and self._vt_a not in nack_sns:
             self._vt_a = (self._vt_a + 1) % SN_MOD
+        # stop t-PollRetransmit only when POLL_SN is acked or nacked
+        # (36.322 §5.2.2.3); an unrelated STATUS keeps the re-poll armed
+        if self._poll_sn not in self._tx_window or self._poll_sn in nack_sns:
+            self._poll_t_active = False
 
     def tick(self):
         if self._status_wait > 0:
@@ -403,3 +514,21 @@ class RlcAm:
                 if self._vr_r != self._vr_h:
                     self._t_active, self._t_count = True, 0
                     self._vr_x = self._vr_h
+        if self._poll_t_active:
+            self._poll_t_count += 1
+            if self._poll_t_count >= self.t_poll_retx:
+                self._poll_t_count = 0
+                # re-poll: retransmit the newest unacked PDU with poll = 1
+                # (rlc_am_lte.cc poll_retx timer expiry)
+                sn = (self._vt_s - 1) % SN_MOD
+                if sn in self._tx_window:
+                    raw, n_tx, pdu = self._tx_window[sn]
+                    if not pdu.poll:
+                        import dataclasses
+
+                        pdu = dataclasses.replace(pdu, poll=True)
+                        self._tx_window[sn] = (pack_amd(pdu), n_tx, pdu)
+                    if sn not in self._retx:
+                        self._retx.append(sn)
+                else:
+                    self._poll_t_active = False

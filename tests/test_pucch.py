@@ -203,3 +203,87 @@ def test_srs_config_from_bw_roundtrip():
                                 jnp.complex64))
     h, noise, power = srs.estimate(0.7 * grid)
     assert np.allclose(np.asarray(h), 0.7, atol=1e-3)
+
+
+# -- extended CP + shortened (SRS-colliding) subframes ----------------------
+
+@pytest.mark.parametrize("bits", [(0,), (1,)])
+def test_pucch_format1a_ext_cp(bits):
+    from srslte_tpu.phy.common.params import CP
+
+    cell = Cell(n_prb=25, id=77, cp=CP.EXT)
+    pucch = Pucch(cell, PucchConfig("1a", n_pucch=11), sf_idx=3)
+    grid = _roundtrip(cell, pucch, ack_bits=bits, seed=sum(bits))
+    out = pucch.decode(grid)
+    assert tuple(np.asarray(out["ack"])) == bits
+    assert float(np.asarray(out["metric"])) > 0.5
+
+
+def test_pucch_format1b_ext_cp_multiuser_occ():
+    """Two ext-CP UEs on the same resource block separated by cyclic shift."""
+    from srslte_tpu.phy.common.params import CP
+
+    cell = Cell(n_prb=6, id=13, cp=CP.EXT)
+    u1 = Pucch(cell, PucchConfig("1b", n_pucch=0), sf_idx=2)
+    u2 = Pucch(cell, PucchConfig("1b", n_pucch=3), sf_idx=2)
+    g = u1.encode(ack_bits=(1, 0))
+    g = u2.encode(ack_bits=(0, 1), grid=g)
+    rng = np.random.default_rng(1)
+    tx = Ofdm(cell.ofdm, normalize=True, freq_shift=0.5)
+    rx = Ofdm(cell.ofdm, normalize=True, freq_shift=-0.5)
+    s = np.asarray(tx.tx_sf(g)) * 0.9
+    s = s + 0.01 * (rng.standard_normal(s.shape)
+                    + 1j * rng.standard_normal(s.shape))
+    grid = rx.rx_sf(jnp.asarray(s.astype(np.complex64)))
+    assert tuple(np.asarray(u1.decode(grid)["ack"])) == (1, 0)
+    assert tuple(np.asarray(u2.decode(grid)["ack"])) == (0, 1)
+
+
+def test_pucch_format2_ext_cp():
+    from srslte_tpu.phy.common.params import CP
+
+    cell = Cell(n_prb=25, id=9, cp=CP.EXT)
+    cqi = (1, 0, 1, 1)
+    pucch = Pucch(cell, PucchConfig("2", n_pucch=2, n_rb_2=1), sf_idx=1,
+                  rnti=0x5BB)
+    grid = _roundtrip(cell, pucch, cqi_bits=cqi, seed=4)
+    out = pucch.decode(grid, nof_cqi_bits=len(cqi))
+    assert tuple(np.asarray(out["cqi"])) == cqi
+
+
+def test_pucch_format2a_ext_cp_rejected():
+    from srslte_tpu.phy.common.params import CP
+
+    cell = Cell(n_prb=25, id=9, cp=CP.EXT)
+    with pytest.raises(ValueError):
+        Pucch(cell, PucchConfig("2a", n_pucch=2), sf_idx=1)
+
+
+@pytest.mark.parametrize("bits", [(1,), (0,)])
+def test_pucch_format1a_shortened(bits):
+    """SRS-colliding subframe: slot 1 spreads with the N_sf=3 OCC."""
+    cell = Cell(n_prb=25, id=31)
+    pucch = Pucch(cell, PucchConfig("1a", n_pucch=7), sf_idx=6,
+                  shortened=True)
+    g = pucch.encode(ack_bits=bits)
+    # the dropped symbol (last of slot 1) must stay empty
+    o = cell.ofdm
+    from srslte_tpu.phy.phch.pucch import F1_DATA_SYMS, pucch_prb
+
+    last = F1_DATA_SYMS[-1] + o.nsymb_slot
+    prb1 = pucch_prb(cell, pucch.cfg, 2 * 6 + 1)
+    assert not np.abs(np.asarray(g)[last, prb1 * 12 : prb1 * 12 + 12]).any()
+    grid = _roundtrip(cell, pucch, ack_bits=bits, seed=3 + sum(bits))
+    out = pucch.decode(grid)
+    assert tuple(np.asarray(out["ack"])) == bits
+
+
+def test_pucch_format3_shortened():
+    """Format 3 in an SRS subframe: slot 1 uses the Walsh-4 spreading."""
+    cell = Cell(n_prb=25, id=5)
+    ack = (1, 0, 1, 1, 0)
+    pucch = Pucch(cell, PucchConfig("3", n_pucch=4), sf_idx=3, rnti=0x77,
+                  shortened=True)
+    grid = _roundtrip(cell, pucch, ack_bits=ack, seed=9)
+    out = pucch.decode(grid, nof_ack3_bits=len(ack))
+    assert tuple(np.asarray(out["ack"])) == ack

@@ -142,3 +142,35 @@ def test_pusch_uci_cqi_ack_ri_16qam():
     assert tuple(np.asarray(info["ack"])) == (1,)
     assert tuple(np.asarray(info["ri"])) == (0,)
     assert tuple(np.asarray(info["cqi"])) == cqi
+
+
+def test_pusch_uci_long_ack():
+    """4-bit HARQ-ACK: (32, O) block-coded long form filling whole groups."""
+    ack = (1, 0, 1, 1)
+    info = _uci_roundtrip({"o_ack": 4}, ack=jnp.asarray(ack, jnp.uint8),
+                          seed=3)
+    assert tuple(np.asarray(info["ack"])) == ack
+
+
+def test_pusch_uci_long_cqi():
+    """20-bit CQI report: CRC8 + tail-biting convolutional long form."""
+    rng = np.random.default_rng(9)
+    cqi = tuple(int(b) for b in rng.integers(0, 2, 20))
+    info = _uci_roundtrip({"o_cqi": 20}, cqi=np.asarray(cqi, np.uint8),
+                          seed=5)
+    assert tuple(np.asarray(info["cqi"])) == cqi
+    assert float(np.asarray(info["cqi_metric"])) == 1.0  # CRC8 passed
+
+
+def test_pusch_uci_long_everything_16qam():
+    """Long ACK + long CQI + RI together on 16QAM."""
+    rng = np.random.default_rng(2)
+    ack = (1, 1, 0, 1, 0)
+    cqi = tuple(int(b) for b in rng.integers(0, 2, 16))
+    info = _uci_roundtrip({"o_ack": 5, "o_ri": 1, "o_cqi": 16},
+                          mod_mcs=18, ack=jnp.asarray(ack, jnp.uint8),
+                          ri=jnp.asarray((1,), jnp.uint8),
+                          cqi=np.asarray(cqi, np.uint8), seed=8)
+    assert tuple(np.asarray(info["ack"])) == ack
+    assert tuple(np.asarray(info["ri"])) == (1,)
+    assert tuple(np.asarray(info["cqi"])) == cqi

@@ -224,3 +224,108 @@ def test_am_stress_random_loss_tiny_retx_grants():
         if rx.rx_sdus == sdus:
             break
     assert rx.rx_sdus == sdus
+
+
+def test_status_so_granular_codec():
+    """STATUS with E2=1 SOstart/SOend entries round-trips byte-exactly."""
+    from srslte_tpu.rlc.am import SO_END_ALL, pack_status, unpack_status
+
+    nacks = [3, (5, 10, 49), (5, 80, SO_END_ALL), 9]
+    raw = pack_status(17, nacks)
+    ack, got = unpack_status(raw)
+    assert ack == 17 and got == nacks
+    # empty NACK list
+    ack, got = unpack_status(pack_status(4, []))
+    assert ack == 4 and got == []
+
+
+def test_am_so_granular_nack_retransmits_only_missing_range():
+    """Receiver NACKs just the lost middle segment; the transmitter resends
+    only those bytes (36.322 E2=1 path), not the whole PDU."""
+    from srslte_tpu.rlc.am import AmdSegPdu, unpack_amd, unpack_status
+
+    tx, rx = RlcAm(t_reordering=1), RlcAm(t_reordering=1)
+    sdus = [bytes([0x40 + i]) * 40 for i in range(3)]
+    for s in sdus:
+        tx.write_sdu(s)
+    big = tx.read_pdu(200)
+    assert big is not None
+    # force segmentation: NACK the whole PDU, read it back in 3 parts
+    tx.write_pdu(__import__("srslte_tpu.rlc.am", fromlist=["pack_status"])
+                 .pack_status(1, [0]))
+    parts = []
+    while (p := tx.read_pdu(60)) is not None:
+        parts.append(p)
+    assert len(parts) == 3
+    # deliver only first and last part
+    rx.write_pdu(parts[0])
+    rx.write_pdu(parts[2])
+    for _ in range(3):
+        rx.tick()  # t-Reordering expiry triggers a STATUS
+    st = rx.read_pdu(100)
+    assert st is not None
+    ack, nacks = unpack_status(st)
+    assert len(nacks) == 1 and isinstance(nacks[0], tuple)
+    sn, so_s, so_e = nacks[0]
+    mid = unpack_amd(parts[1])
+    assert sn == 0 and so_s == mid.so
+    assert so_e == mid.so + sum(len(s) for s in mid.segments) - 1
+    # transmitter resends exactly that range
+    tx.write_pdu(st)
+    resent = tx.read_pdu(200)
+    assert resent is not None
+    seg = unpack_amd(resent)
+    assert isinstance(seg, AmdSegPdu) and seg.so == so_s
+    assert sum(len(s) for s in seg.segments) == so_e - so_s + 1
+    assert tx.read_pdu(200) is None or unpack_amd(tx.read_pdu(200)) is None
+    rx.write_pdu(resent)
+    assert rx.rx_sdus == sdus
+
+
+def test_am_so_granular_open_tail():
+    """Missing tail (no LSF received) NACKs with the 0x7FFF open-end."""
+    from srslte_tpu.rlc.am import SO_END_ALL, pack_status, unpack_status
+
+    tx, rx = RlcAm(t_reordering=1), RlcAm(t_reordering=1)
+    tx.write_sdu(bytes(range(120)))
+    assert tx.read_pdu(200) is not None
+    tx.write_pdu(pack_status(1, [0]))
+    parts = []
+    while (p := tx.read_pdu(50)) is not None:
+        parts.append(p)
+    assert len(parts) >= 3
+    rx.write_pdu(parts[0])  # head only
+    for _ in range(3):
+        rx.tick()
+    st = rx.read_pdu(100)
+    ack, nacks = unpack_status(st)
+    assert any(isinstance(n, tuple) and n[2] == SO_END_ALL for n in nacks)
+    tx.write_pdu(st)
+    while (p := tx.read_pdu(50)) is not None:
+        rx.write_pdu(p)
+    assert rx.rx_sdus == [bytes(range(120))]
+
+
+def test_am_stress_so_granular_loss():
+    """Random segment loss converges using byte-range NACKs only."""
+    rng = np.random.default_rng(5)
+    tx, rx = RlcAm(poll_pdu=2, t_reordering=1), RlcAm(t_reordering=1)
+    sdus = [rng.integers(0, 256, rng.integers(40, 200)).astype(np.uint8)
+            .tobytes() for _ in range(15)]
+    for s in sdus:
+        tx.write_sdu(s)
+    for rounds in range(300):
+        for _ in range(3):
+            p = tx.read_pdu(int(rng.integers(25, 90)))
+            if p is None:
+                break
+            if rng.random() > 0.25:
+                rx.write_pdu(p)
+        rx.tick()
+        tx.tick()
+        st = rx.read_pdu(300)
+        if st is not None and rng.random() > 0.1:
+            tx.write_pdu(st)
+        if rx.rx_sdus == sdus:
+            break
+    assert rx.rx_sdus == sdus
