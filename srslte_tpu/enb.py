@@ -116,8 +116,11 @@ class _Cc:
 
 class EnbApp:
     def __init__(self, cells, mme=None, mcs_dl: int = 5,
-                 neighbor_meas: bool = False, s1=None):
+                 neighbor_meas: bool = False, s1=None, events=None):
+        from .utils.events import EventLog
+
         cells = [cells] if isinstance(cells, Cell) else list(cells)
+        self.events = events if events is not None else EventLog()
         self.ccs: dict[int, _Cc] = {}
         for i, c in enumerate(cells):
             self.ccs[c.id] = _Cc(
@@ -125,6 +128,7 @@ class EnbApp:
                 prach_cfg=PrachConfig(c.ofdm, zero_corr_cfg=7),
                 rach=EnbRach(next_crnti=0x46 + 0x100 * i),
                 sched_dl=SchedDl(c, cfi=CFI), sched_ul=SchedUl(c, cfi=CFI))
+            self.events.sector_start(i, c.id, c.id)
         self.cell = cells[0]
         self.mme = mme
         self.mcs_dl = mcs_dl
@@ -451,6 +455,7 @@ class EnbApp:
             src.sched_dl.ues.pop(ue.crnti, None)
             src.sched_ul.bsr.pop(ue.crnti, None)
         self.ues.pop(ue.crnti, None)
+        self.events.rrc_event(0, ue.crnti, "released")
 
     def send_data(self, crnti: int, packet: bytes):
         """Queue a DL user-plane packet (SGi -> DRB path)."""
@@ -504,6 +509,7 @@ class EnbApp:
         msg = rrc_unpack(raw, "ul_dcch")
         if isinstance(msg, ConnectionSetupComplete):
             ue.rrc_state = "connected"
+            self.events.rrc_event(0, ue.crnti, "connected")
             self._nas_dl(ue, msg.nas_pdu)
         elif isinstance(msg, UlInformationTransfer):
             self._nas_dl(ue, msg.nas_pdu)
@@ -518,9 +524,12 @@ class EnbApp:
             ue.srb1.write_sdu(ue.pdcp1.tx(rrc_pack(recfg)))
         elif isinstance(msg, ConnectionReconfigurationComplete):
             ue.rrc_state = "rrc_reconfigured"
+            if ue.ho_pending:
+                self.events.rrc_event(0, ue.crnti, "handover")
             ue.ho_pending = False
             ue.ho_target = None
         elif isinstance(msg, MeasurementReportMsg):
+            self.events.measurement_report(0, ue.crnti)
             # link adaptation: an A3 report means the serving link is weak
             # and interference-limited — drop to robust MCS and force wide
             # PDCCH aggregation so the HO command survives (the reference
@@ -532,6 +541,7 @@ class EnbApp:
             self._start_handover(ue, msg)
         elif isinstance(msg, ReestablishmentComplete):
             ue.rrc_state = "connected"
+            self.events.rrc_event(0, ue.crnti, "reestablished")
             # re-add the DRB so the data path resumes on the new cell
             ue.srb1.write_sdu(ue.pdcp1.tx(rrc_pack(
                 ConnectionReconfiguration(drb_id=1))))

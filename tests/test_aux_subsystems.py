@@ -1,0 +1,134 @@
+"""Auxiliary subsystems: NAS/RLC/S1AP PCAP writers, EARFCN band helper,
+eNB structured events, MBMS-GW data path.
+
+Reference behavior: lib/src/common/{pcap.c, nas_pcap.cc, rlc_pcap.cc,
+s1ap_pcap.cc, enb_events.cc}, lib/src/phy/common/phy_common.c band table,
+srsepc/src/mbms-gw/mbms-gw.cc.
+"""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+
+def _read_pcap(path):
+    data = open(path, "rb").read()
+    magic, _, _, _, _, _, dlt = struct.unpack("<IHHiIII", data[:24])
+    assert magic == 0xA1B2C3D4
+    pkts, off = [], 24
+    while off < len(data):
+        _, _, incl, _ = struct.unpack("<IIII", data[off : off + 16])
+        pkts.append(data[off + 16 : off + 16 + incl])
+        off += 16 + incl
+    return dlt, pkts
+
+
+def test_nas_s1ap_pcap_raw_dlt(tmp_path):
+    from srslte_tpu.utils.pcap import NasPcap, S1apPcap
+
+    p = tmp_path / "nas.pcap"
+    w = NasPcap(str(p))
+    w.write_pdu(b"\x07\x41\x01")  # attach request header bytes
+    w.write_pdu(b"\x07\x42")
+    w.close()
+    dlt, pkts = _read_pcap(p)
+    assert dlt == 148 and pkts == [b"\x07\x41\x01", b"\x07\x42"]
+
+    p2 = tmp_path / "s1ap.pcap"
+    w = S1apPcap(str(p2))
+    w.write_pdu(b"\x00\x11\x22")
+    w.close()
+    dlt, pkts = _read_pcap(p2)
+    assert dlt == 150 and pkts == [b"\x00\x11\x22"]
+
+
+def test_rlc_pcap_framing(tmp_path):
+    from srslte_tpu.utils.pcap import RLC_AM_MODE, RLC_UM_MODE, RlcPcap
+
+    p = tmp_path / "rlc.pcap"
+    w = RlcPcap(str(p), ue_id=7)
+    w.write_pdu(b"\x88\x00payload", mode=RLC_AM_MODE, lcid=1)
+    w.write_pdu(b"\x99", mode=RLC_UM_MODE, lcid=3, is_srb=False)
+    w.close()
+    dlt, pkts = _read_pcap(p)
+    assert dlt == 149
+    # dummy UDP header then the rlc-lte magic
+    assert pkts[0][:2] == b"\xde\xad" and pkts[0][8:15] == b"rlc-lte"
+    assert pkts[0][15] == RLC_AM_MODE
+    assert pkts[0].endswith(b"\x88\x00payload")
+    assert pkts[1][15] == RLC_UM_MODE
+    # UM carries the SN-length tag right after the mode byte
+    assert pkts[1][16] == 0x02
+
+
+def test_band_helper():
+    from srslte_tpu.phy.common.band import (band_from_dl_earfcn, band_is_tdd,
+                                            dl_freq_hz, ul_earfcn_from_dl,
+                                            ul_freq_hz)
+
+    # band 3: F_DL = 1805 + 0.1*(1275-1200) = 1812.5 MHz
+    assert band_from_dl_earfcn(1275) == 3
+    assert dl_freq_hz(1275) == pytest.approx(1812.5e6)
+    # paired UL: N_UL = N_DL - 1200 + 19200 -> F_UL = F_DL - 95 MHz
+    assert ul_earfcn_from_dl(1275) == 19275
+    assert ul_freq_hz(19275) == pytest.approx(1812.5e6 - 95e6)
+    # band 1 EARFCN 300: 2110 + 30 = 2140 MHz
+    assert dl_freq_hz(300) == pytest.approx(2140e6)
+    # band 38 is TDD
+    assert band_is_tdd(38)
+    assert not band_is_tdd(7)
+
+
+def test_enb_event_log(tmp_path):
+    from srslte_tpu.utils.events import EventLog
+
+    path = tmp_path / "events.json"
+    ev = EventLog(str(path))
+    ev.sector_start(0, 101, 1)
+    ev.rrc_event(0, 0x46, "connected")
+    ev.measurement_report(0, 0x46)
+    ev.rrc_event(0, 0x46, "handover")
+    ev.rlf(0, 0x47)
+    ev.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert [l["event_name"] for l in lines] == [
+        "sector_start", "rrc_connected", "measurement_report",
+        "rrc_handover", "rlf_report"]
+    assert all(l["type"] == "event" for l in lines)
+    assert len(ev.of_kind("rrc_connected")) == 1
+
+
+def test_enb_emits_sector_events_on_init():
+    """The live eNB wires the event log: one sector_start per cell."""
+    pytest.importorskip("jax")
+    from srslte_tpu.enb import EnbApp
+    from srslte_tpu.phy.common.params import Cell
+
+    enb = EnbApp([Cell(n_prb=6, id=1), Cell(n_prb=6, id=2)])
+    starts = enb.events.of_kind("sector_start")
+    assert len(starts) == 2
+    assert {e["pci"] for e in starts} == {1, 2}
+
+
+def test_mbms_gw_data_path():
+    from srslte_tpu.epc.mbms_gw import EnbM1uRx, MbmsGw
+
+    rx = EnbM1uRx(port=23452)
+    gw = MbmsGw(m1u_port=23452)
+    pkts = [bytes([0x45, 0, 0, 20 + i]) + bytes(16 + i) for i in range(3)]
+    for p in pkts:
+        gw.sgi_mb_rx(p)
+    import time
+
+    got = []
+    for _ in range(20):
+        got.extend(rx.poll())
+        if len(got) == 3:
+            break
+        time.sleep(0.02)
+    assert got == pkts
+    assert gw.pkts_tx == 3
+    gw.close()
+    rx.close()
