@@ -139,3 +139,48 @@ def test_mac_pdu_nr_padding_absorbs_tail():
     got = MacPduNr.unpack(raw)
     assert got.sdus() == [b"ab"]
     assert LCID_PAD not in [l for l, _ in got.subpdus]
+
+
+# -- NR CSI-RS (csi_rs.c) ---------------------------------------------------
+
+def test_csi_rs_mapping_and_measure():
+    import jax.numpy as jnp
+
+    from srslte_tpu.phy.nr.csi_rs import NzpCsiRs, csi_rs_measure, csi_rs_put
+    from srslte_tpu.phy.nr.params import NSYMB_SLOT, NrCarrier
+
+    car = NrCarrier(n_prb=52, n_id=11)
+    res = NzpCsiRs(row=1, freq_alloc=0b0010, l0=4, scrambling_id=7)
+    assert res.k0 == 2 and res.k_list() == (2, 6, 10)
+    grid = jnp.zeros((NSYMB_SLOT, car.nof_re), np.complex64)
+    grid = csi_rs_put(res, car, slot=3, grid=grid)
+    # only symbol l0 is populated, 3 REs per PRB
+    g = np.asarray(grid)
+    assert np.abs(g[4]).sum() > 0 and np.abs(g[[0, 3, 5]]).sum() == 0
+    assert int((np.abs(g[4]) > 0).sum()) == 3 * 52
+
+    rng = np.random.default_rng(0)
+    h0 = 0.8 * np.exp(0.9j)
+    rx = g * h0 + 0.05 * (rng.standard_normal(g.shape)
+                          + 1j * rng.standard_normal(g.shape))
+    m = csi_rs_measure(res, car, 3, jnp.asarray(rx.astype(np.complex64)))
+    assert abs(float(m["rsrp"]) - abs(h0) ** 2) < 0.05
+    snr_true = 10 * np.log10(abs(h0) ** 2 / (2 * 0.05**2))
+    assert abs(float(m["snr_db"]) - snr_true) < 2.0
+
+
+def test_csi_rs_periodicity_and_row2():
+    import jax.numpy as jnp
+
+    from srslte_tpu.phy.nr.csi_rs import NzpCsiRs, csi_rs_put
+    from srslte_tpu.phy.nr.params import NSYMB_SLOT, NrCarrier
+
+    car = NrCarrier(n_prb=24, n_id=3)
+    res = NzpCsiRs(row=2, freq_alloc=1 << 6, l0=12, period=20, offset=4)
+    assert res.send_in(4) and res.send_in(24) and not res.send_in(5)
+    grid = jnp.zeros((NSYMB_SLOT, car.nof_re), np.complex64)
+    out = csi_rs_put(res, car, slot=5, grid=grid)  # off-period: untouched
+    assert not np.abs(np.asarray(out)).any()
+    out = csi_rs_put(res, car, slot=24, grid=grid)
+    g = np.asarray(out)
+    assert int((np.abs(g[12]) > 0).sum()) == 24  # density 1: one RE per PRB
