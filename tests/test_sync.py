@@ -137,3 +137,32 @@ def test_cell_search_stream():
     half = p.srate * 5 // 1000
     sf_start = (int(r.peak_offset) - p.slot_len + p.symbol_sz) % half
     assert abs(sf_start - delay % half) <= 1
+
+
+def test_refsignal_dl_sync_finds_cell_and_cfo():
+    """CRS-signature correlation finder (refsignal_dl_sync.c analog):
+    locates the cell's subframe in a capture, estimates CFO, and rejects
+    wrong cell-id hypotheses."""
+    import jax.numpy as jnp
+
+    from srslte_tpu.phy.common.params import Cell
+    from srslte_tpu.phy.sync.refsignal_sync import (cell_find,
+                                                    crs_time_signature,
+                                                    refsignal_dl_sync_find)
+
+    rng = np.random.default_rng(0)
+    cell = Cell(n_prb=15, id=123, nof_ports=1)
+    sig = crs_time_signature(cell, 0)
+    n, off_true, cfo = 10000, 3137, 0.01
+    x = 0.05 * (rng.standard_normal(n)
+                + 1j * rng.standard_normal(n)).astype(np.complex64)
+    t = np.arange(len(sig))
+    rot = np.exp(2j * np.pi * cfo * t / cell.ofdm.symbol_sz)
+    x[off_true : off_true + len(sig)] += (2.0 * sig * rot).astype(np.complex64)
+    xs = jnp.asarray(x)
+    off, metric, cfo_est = refsignal_dl_sync_find(xs, cell, 0)
+    assert abs(off - off_true) <= 1 and metric > 6
+    assert abs(cfo_est - cfo) < 0.005
+    got = cell_find(xs, 15, [7, 123, 200], 0)
+    assert got is not None and got[0] == 123
+    assert cell_find(xs, 15, [7, 200], 0) is None
