@@ -132,3 +132,26 @@ def test_mbms_gw_data_path():
     assert gw.pkts_tx == 3
     gw.close()
     rx.close()
+
+
+def test_zmq_rf_wire_protocol():
+    """REQ/REP CF32 burst exchange, the rf_zmq_imp wire protocol."""
+    pytest.importorskip("zmq")
+    import threading
+
+    import numpy as np
+
+    from srslte_tpu.net.zmq_rf import ZmqRxClient, ZmqTxServer
+
+    srv = ZmqTxServer(bind="tcp://127.0.0.1:23979")
+    cli = ZmqRxClient(connect="tcp://127.0.0.1:23979")
+    rng = np.random.default_rng(0)
+    burst = (rng.standard_normal(1920)
+             + 1j * rng.standard_normal(1920)).astype(np.complex64)
+    t = threading.Thread(target=lambda: srv.serve_once(burst))
+    t.start()
+    got = cli.recv()
+    t.join()
+    assert got is not None and np.array_equal(got, burst)
+    srv.close()
+    cli.close()
