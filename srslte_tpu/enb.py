@@ -56,9 +56,10 @@ from .phy.phch.ra import DlGrant
 from .phy.phch.ra_ul import UlGrant
 from .rlc import RlcAm, RlcTm
 from .rrc.mobility import short_mac_i
-from .rrc.messages import (ConnectionReconfiguration, ConnectionRequest,
+from .rrc.messages import (ConnectionReconfiguration, ConnectionRelease,
+                           ConnectionRequest,
                            ConnectionSetup, ConnectionSetupComplete,
-                           DlInformationTransfer, MeasConfigA3,
+                           DlInformationTransfer, MeasConfigA3, Paging,
                            MeasurementReportMsg, MobilityControl,
                            Reestablishment, ReestablishmentComplete,
                            ReestablishmentReject, ReestablishmentRequest,
@@ -68,6 +69,7 @@ from .rrc.messages import (ConnectionReconfiguration, ConnectionRequest,
                            rrc_pack, rrc_unpack)
 
 SI_RNTI = 0xFFFF
+P_RNTI = 0xFFFE
 RA_RNTI = 0x0002
 CFI = 2
 MSG3_GRANT = UlGrant(prb_start=1, n_prb=4, mcs=4)
@@ -134,6 +136,7 @@ class EnbApp:
         self.mcs_dl = mcs_dl
         self.neighbor_meas = neighbor_meas or len(cells) > 1
         self.ues: dict[int, EnbUe] = {}
+        self._pending_pages: list[int] = []
         self._next_ue_id = 1
         self._pending_nas: dict = {}
         # S1 wire mode: NAS crosses a real S1AP association (enb_s1.EnbS1)
@@ -196,6 +199,11 @@ class EnbApp:
             sib = rrc_pack(Sib1())
             bc_requests.append((SI_RNTI, len(sib), 0))
             bc_payloads[SI_RNTI] = sib
+        if self._pending_pages and tti % 10 == 9:  # paging occasion
+            pcch = rrc_pack(Paging(records=tuple(self._pending_pages)))
+            bc_requests.append((P_RNTI, len(pcch), 0))
+            bc_payloads[P_RNTI] = pcch
+            self._pending_pages = []
 
         # -- DL buffer states into the scheduler -----------------------------
         for crnti, ue in self.ues.items():
@@ -448,6 +456,18 @@ class EnbApp:
             self._pending_nas[ue.crnti] = attach_nas
         from .security import EEA2, EIA2
         ue.srb1.write_sdu(rrc_pack(RrcSecurityModeCommand(EEA2, EIA2)))
+
+    def page(self, guti: int):
+        """Queue a PCCH page for the next paging occasion (the MME's
+        paging trigger when DL data arrives for an idle UE)."""
+        self._pending_pages.append(guti)
+
+    def release_connection(self, ue: EnbUe):
+        """Send RRCConnectionRelease on SRB1 and drop the context after
+        the message drains (36.331 5.3.8)."""
+        if ue.pdcp1 is not None:
+            ue.srb1.write_sdu(ue.pdcp1.tx(rrc_pack(ConnectionRelease())))
+        ue.rrc_state = "releasing"
 
     def release_ue(self, ue: EnbUe):
         src = self.ccs.get(ue.pci)

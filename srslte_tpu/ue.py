@@ -43,9 +43,10 @@ from .rrc.meas import MeasEventEngine, ReportConfig
 from .rrc.mobility import RadioLinkMonitor, RlmConfig, short_mac_i
 from .rrc.messages import (ConnectionReconfiguration,
                            ConnectionReconfigurationComplete,
-                           ConnectionRequest, ConnectionSetup,
-                           ConnectionSetupComplete, DlInformationTransfer,
-                           MeasurementReportMsg, Reestablishment,
+                           ConnectionRelease, ConnectionRequest,
+                           ConnectionSetup, ConnectionSetupComplete,
+                           DlInformationTransfer, MeasurementReportMsg,
+                           Paging, Reestablishment,
                            ReestablishmentComplete, ReestablishmentReject,
                            ReestablishmentRequest, RrcSecurityModeCommand,
                            RrcSecurityModeComplete, Sib1,
@@ -54,6 +55,7 @@ from .security import EEA2, EIA2
 from .ue_stack import UeNas
 
 SI_RNTI = 0xFFFF
+P_RNTI = 0xFFFE
 RA_RNTI = 0x0002
 CFI = 2
 MSG3_GRANT = UlGrant(prb_start=1, n_prb=4, mcs=4)
@@ -90,6 +92,7 @@ class UeApp:
         self.pdcp1: PdcpEntity | None = None
         self.pdcp_drb: PdcpEntity | None = None
         self.rrc_state = "idle"
+        self.paged = 0
         self.pending_ul: dict[int, UlTx] = {}
         self.rx_data: list = []
         self._ccch_sdu = b""
@@ -217,6 +220,10 @@ class UeApp:
         common_rntis = []
         if self.state in ("rach_wait", "rach_sent", "ho_rach_sent"):
             common_rntis.append(RA_RNTI)
+        if self.state == "camped":
+            # RRC_IDLE camped: monitor the paging occasion on P-RNTI
+            # (36.304 §7; the reference pages every PO of the UE's PF)
+            common_rntis.append(P_RNTI)
         common_rntis.append(SI_RNTI)
         for rnti in common_rntis:
             got = False
@@ -342,6 +349,18 @@ class UeApp:
 
     # ---------------- stack --------------------------------------------------
     def _handle_dlsch(self, rnti: int, raw: bytes, tti: int):
+        if rnti == P_RNTI:
+            msg = rrc_unpack(raw, "pcch")
+            if isinstance(msg, Paging) and self.nas.guti in msg.records:
+                self.paged += 1
+                if self.state == "camped":
+                    # paging response: bring the connection back up
+                    # (reference: NAS service request through a new RRC
+                    # connection; here the NAS re-attaches over the new
+                    # connection)
+                    self._ra_mode = "attach"
+                    self.state = "rach_wait"
+            return
         if rnti == SI_RNTI:
             msg = rrc_unpack(raw, "bcch")
             if isinstance(msg, Sib1):
@@ -446,6 +465,17 @@ class UeApp:
             self._ra_mode = "attach"
             self.srb1.write_sdu(self.pdcp1.tx(rrc_pack(
                 ReestablishmentComplete())))
+        elif isinstance(msg, ConnectionRelease):
+            # 36.331 5.3.8: leave RRC_CONNECTED, camp and monitor paging;
+            # bearers and AS security die with the connection
+            self.rrc_state = "idle"
+            self.state = "camped"
+            self.crnti = 0
+            self.pending_ul.clear()
+            self.srb0, self.srb1, self.drb1 = RlcTm(), RlcAm(), RlcAm()
+            self.pdcp1 = None
+            self.pdcp_drb = None
+            self._ra_mode = "attach"
         elif isinstance(msg, ReestablishmentReject):
             self.rrc_state = "idle"
             self.crnti = 0

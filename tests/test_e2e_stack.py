@@ -57,3 +57,41 @@ def test_full_stack_attach_and_data_over_the_air():
     # user plane delivered, ciphered, both directions
     assert enb.ues[ue.crnti].rx_data == [b"uplink-ping"]
     assert ue.rx_data == [b"downlink-pong"]
+
+
+@pytest.mark.slow
+def test_release_page_and_reconnect_over_the_air():
+    """Connected UE is released (RRCConnectionRelease), camps on paging,
+    the network pages its GUTI on P-RNTI, and the UE re-establishes the
+    connection — PCCH paging delivery end to end."""
+    cell = Cell(n_prb=15, id=42, nof_ports=1)
+    hss = Hss()
+    hss.add_subscriber(IMSI, K, op=OP)
+    mme = Mme(hss, Spgw())
+    enb = EnbApp(cell, mme=mme)
+    ue = UeApp(cell, UeNas(SoftUsim(IMSI, K, compute_opc(K, OP))))
+
+    released = paged = False
+    for tti in range(400):
+        dl = enb.tx_subframe(tti)
+        ue.rx_subframe(dl, tti)
+        ul = ue.tx_subframe(tti)
+        enb.rx_subframe(ul, tti)
+        if ue.nas.state == "attached" and not released and ue.crnti:
+            ctx = enb.ues.get(ue.crnti)
+            if ctx is not None and ctx.rrc_state in ("secure",
+                                                     "rrc_reconfigured"):
+                enb.release_connection(ctx)
+                released = True
+                old_crnti = ue.crnti
+        if released and ue.state == "camped" and not paged:
+            enb.release_ue(enb.ues[old_crnti])
+            enb.page(ue.nas.guti)
+            paged = True
+        if paged and ue.paged and ue.state == "connected":
+            break
+
+    assert released, "release never sent"
+    assert ue.paged >= 1, "paging never received"
+    assert ue.state == "connected", f"no reconnect: {ue.state}/{ue.ra.state}"
+    assert ue.crnti and ue.crnti in enb.ues
