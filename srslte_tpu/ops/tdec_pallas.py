@@ -182,9 +182,13 @@ def _siso_kernel(L: int, T: int, K: int, W: int):
 
 
 @functools.partial(jax.jit, static_argnames=("K", "L", "T"))
-def prepare_windows(x, K: int, L: int = 128, T: int = 32):
+def prepare_windows(x, K: int, L: int = 128, T: int = 32, perm=None):
     """[B, K] -> kernel window layout [LT, NP, SUB, LANE] (cacheable: the
-    parity inputs never change across turbo iterations)."""
+    parity inputs never change across turbo iterations).
+
+    `perm` [K] composes an input permutation into the window gather:
+    windows of x[:, perm] in ONE gather — the QPP interleave ahead of the
+    second SISO never materializes as a [B, K] intermediate."""
     B = x.shape[0]
     W = -(-K // L)
     N = B * W
@@ -193,6 +197,8 @@ def prepare_windows(x, K: int, L: int = 128, T: int = 32):
     NP = n_pad // TILE
     pos = (np.arange(W) * L)[:, None] + np.arange(-T, L + T)[None, :]  # [W, LT]
     idx = jnp.asarray(np.clip(pos, 0, K - 1).astype(np.int32))
+    if perm is not None:
+        idx = perm[idx].astype(jnp.int32)
     act = jnp.asarray(((pos >= 0) & (pos < K)).astype(np.float32))[None]
     g = (x[:, idx] * act).reshape(N, LT).T  # [LT, N]
     return jnp.pad(g, ((0, 0), (0, n_pad - N))).reshape(LT, NP, SUB, LANE)
@@ -223,6 +229,9 @@ def siso_from_windows(sa_w, pr_w, b0, B: int, K: int, L: int = 128,
     half = (LT - 1) // 2 + 1
     llr = pl.pallas_call(
         _siso_kernel(L, T, K, W),
+        # off-TPU (tests, CI): run the kernel in the Pallas interpreter so
+        # the cached/composed-gather decode path is exercised everywhere
+        interpret=jax.default_backend() != "tpu",
         grid=(NP,),
         in_specs=[
             pl.BlockSpec((LT, 1, SUB, LANE), lambda i: (0, i, 0, 0),

@@ -307,8 +307,27 @@ def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0,
         b02 = prepare_beta_init(t2x, t2z, B, k, L, 32)
         siso1 = lambda sa: siso_from_windows(
             prepare_windows(sa, k, L, 32), pr1_w, b01, B, k, L, 32)
-        siso2 = lambda sa: siso_from_windows(
-            prepare_windows(sa, k, L, 32), pr2_w, b02, B, k, L, 32)
+        # the QPP interleave folds into the window gather: siso2 consumes
+        # the UN-interleaved decoder-1 output directly (one composed gather
+        # instead of a [B, K] interleave + a window gather)
+        siso2_direct = lambda t: siso_from_windows(
+            prepare_windows(t, k, L, 32, perm=pi), pr2_w, b02, B, k, L, 32)
+
+        apr1 = jnp.zeros_like(sys) if apr0 is None else apr0
+        post = sys
+        for _ in range(n_iter):
+            llr1 = siso1(sys + apr1)
+            # t = sys + ext1 (decoder-2 systematic input, natural order)
+            t = llr1 - apr1
+            llr2 = siso2_direct(t)
+            post = llr2[..., pi_inv]
+            # ext2 deinterleaved: in2[pi_inv] == t exactly (pure gathers),
+            # so apr1 = (llr2 - in2)[pi_inv] = post - t bit-for-bit
+            apr1 = post - t
+        hard = (post > 0).astype(jnp.uint8)
+        if return_state:
+            return hard, post, apr1
+        return hard, post
     else:
         siso1 = lambda sa: siso(sa, par1, t1x, t1z)
         siso2 = lambda sa: siso(sa, par2, t2x, t2z)

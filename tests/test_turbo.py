@@ -125,3 +125,33 @@ def test_turbo_rm_full_chain_with_puncturing():
     hard, _ = turbo_decode(w, k, n_iter=6)
     errs = int(np.sum(np.any(np.asarray(hard) != bits, axis=1)))
     assert errs == 0
+
+
+def test_pallas_cached_composed_gather_path():
+    """The cached-window Pallas decode path (QPP interleave composed into
+    the window gather, extrinsic algebra without materialized ext arrays)
+    matches the XLA path — runs via the Pallas interpreter off-TPU."""
+    import jax.numpy as jnp
+
+    from srslte_tpu.ops.tdec_pallas import prepare_windows
+    from srslte_tpu.phy.fec.turbo import qpp_perm
+
+    rng = np.random.default_rng(3)
+    # composed-gather identity is bit-exact
+    for k in (136, 1024):
+        pi = jnp.asarray(qpp_perm(k))
+        x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32))
+        a = prepare_windows(x, k, 128, 32, perm=pi)
+        b = prepare_windows(x[:, pi], k, 128, 32)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    k, B = 136, 2
+    bits = rng.integers(0, 2, (B, k)).astype(np.uint8)
+    coded = np.stack([turbo.turbo_encode_np(b) for b in bits]).astype(np.float32)
+    sigma = 10 ** (-1.5 / 20)
+    y = (1 - 2 * coded) + sigma * rng.standard_normal(coded.shape)
+    llr = jnp.asarray(-y * 2 / sigma**2, jnp.float32)
+    hp, _ = turbo_decode(llr, k, n_iter=2, backend="pallas")
+    hx, _ = turbo_decode(llr, k, n_iter=2, backend="xla")
+    assert np.array_equal(np.asarray(hp), np.asarray(hx))
+    assert (np.asarray(hp) == bits).all()
