@@ -21,7 +21,7 @@ from ..common.scrambling import scramble_bits, scramble_llr
 from ..mimo import equalize_zf
 from ..modem.modem import Modulation, demod_soft, modulate
 from .dlsch_nr import NrDlschConfig, nr_dlsch_decode, nr_dlsch_encode
-from .dmrs import dmrs_subcarriers, dmrs_values
+from .dmrs import dmrs_subcarriers, dmrs_symbols, dmrs_values
 from .params import NSYMB_SLOT, NrCarrier
 from .ra_nr import NrGrant
 
@@ -44,6 +44,8 @@ class NrPdsch:
     rnti: int = 0x4601
     slot: int = 0
     grant: "NrGrant | None" = None
+    dmrs_type: int = 1  # 38.211 configuration type 1 (comb) or 2 (pairs)
+    dmrs_add_pos: int = 0  # dmrs-AdditionalPosition (table 7.4.1.1.2-3)
 
     @property
     def modulation(self) -> Modulation:
@@ -64,12 +66,17 @@ class NrPdsch:
         return g.prb_start * 12, (g.prb_start + g.n_prb) * 12
 
     @property
+    def _dmrs_syms(self) -> tuple[int, ...]:
+        return dmrs_symbols(self.dmrs_add_pos)
+
+    @property
     def _symbols(self) -> list[int]:
+        dm = set(self._dmrs_syms)
         if self.grant is None:
-            return [l for l in range(NSYMB_SLOT) if l != DMRS_SYMBOL]
+            return [l for l in range(NSYMB_SLOT) if l not in dm]
         g = self.grant
         return [l for l in range(g.start_sym, g.start_sym + g.n_sym)
-                if l != DMRS_SYMBOL]
+                if l not in dm]
 
     @functools.cached_property
     def re_idx(self) -> np.ndarray:
@@ -118,16 +125,33 @@ class NrPdsch:
         grid = jnp.zeros(bits.shape[:-1] + (NSYMB_SLOT * nre,), jnp.complex64)
         grid = grid.at[..., jnp.asarray(self.re_idx)].set(sym)
         grid = grid.reshape(bits.shape[:-1] + (NSYMB_SLOT, nre))
-        ks, pil = self._dmrs()
-        return grid.at[..., DMRS_SYMBOL, jnp.asarray(ks)].set(jnp.asarray(pil))
+        for l in self._dmrs_syms:
+            ks, pil = self._dmrs(l)
+            grid = grid.at[..., l, jnp.asarray(ks)].set(jnp.asarray(pil))
+        return grid
 
-    def _dmrs(self) -> tuple[np.ndarray, np.ndarray]:
-        """DMRS comb positions + values restricted to the allocation."""
-        ks = dmrs_subcarriers(self.carrier)
-        pil = dmrs_values(self.carrier, self.slot, DMRS_SYMBOL)
+    def _dmrs(self, l: int) -> tuple[np.ndarray, np.ndarray]:
+        """DMRS positions + values of symbol l within the allocation."""
+        ks = dmrs_subcarriers(self.carrier, self.dmrs_type)
+        pil = dmrs_values(self.carrier, self.slot, l, self.dmrs_type)
         k0, k1 = self._sc_range
         sel = (ks >= k0) & (ks < k1)
         return ks[sel], pil[sel]
+
+    @functools.cached_property
+    def _interp_plan(self):
+        """(left, right, t) linear-interp plan from the allocation's pilot
+        subcarriers onto every allocated subcarrier (works for the type-1
+        comb and type-2 pair layouts alike)."""
+        ks, _ = self._dmrs(self._dmrs_syms[0])
+        k0, k1 = self._sc_range
+        sc = ks - k0
+        tgt = np.arange(k1 - k0)
+        right = np.searchsorted(sc, tgt).clip(1, len(sc) - 1)
+        left = right - 1
+        denom = np.maximum(sc[right] - sc[left], 1)
+        t = ((tgt - sc[left]) / denom).clip(0.0, 1.0).astype(np.float32)
+        return left.astype(np.int32), right.astype(np.int32), t
 
     # -- UE side --------------------------------------------------------------
     @lazy_jit(static_argnums=(0,), static_argnames=("n_iter",))
@@ -139,16 +163,21 @@ class NrPdsch:
         """
         import jax.numpy as jnp
 
-        ks_np, pil_np = self._dmrs()
-        ks, pil = jnp.asarray(ks_np), jnp.asarray(pil_np)
-        k0, k1 = self._sc_range
-        ls = grid[..., DMRS_SYMBOL, ks] * jnp.conj(pil)  # |pil| = 1
-        # comb-2 -> allocation band by linear interpolation (a repeated
+        # LS per DMRS symbol, time-averaged (additional positions improve
+        # the estimate; a single symbol reduces to the old behavior)
+        ls = 0.0
+        for l in self._dmrs_syms:
+            ks_np, pil_np = self._dmrs(l)
+            ls = ls + grid[..., l, jnp.asarray(ks_np)] * jnp.conj(
+                jnp.asarray(pil_np))  # |pil| = 1
+        ls = ls / len(self._dmrs_syms)
+        # pilot set -> allocation band by linear interpolation (a repeated
         # stair-step estimate biases the odd subcarriers enough to break
-        # 256QAM on selective channels)
-        nxt = jnp.concatenate([ls[..., 1:], ls[..., -1:]], axis=-1)
-        ce = jnp.stack([ls, (ls + nxt) / 2], axis=-1)
-        ce = ce.reshape(ce.shape[:-2] + (-1,))[..., : k1 - k0]
+        # 256QAM on selective channels); the plan handles the type-1 comb
+        # and the type-2 pair layout alike
+        left, right, t = self._interp_plan
+        ce = (ls[..., jnp.asarray(left)] * (1 - jnp.asarray(t))
+              + ls[..., jnp.asarray(right)] * jnp.asarray(t))
         noise = jnp.mean(jnp.abs(ls[..., 2:] + ls[..., :-2]
                                  - 2 * ls[..., 1:-1]) ** 2, -1) / 6
 

@@ -115,3 +115,36 @@ def test_nr_slot_loop_dl_and_ul():
         + 1j * rng.standard_normal(ul_grid.shape))
     ul_bits, ul_ok, _ = pusch.decode(jnp.asarray(ul_rx.astype(np.complex64)))
     assert bool(ul_ok) and np.array_equal(np.asarray(ul_bits), ul_payload)
+
+
+@pytest.mark.parametrize("dmrs_type,add_pos", [(2, 0), (1, 1), (2, 2)])
+def test_dmrs_type2_and_additional_positions(dmrs_type, add_pos):
+    """Type-2 DMRS (subcarrier pairs) and dmrs-AdditionalPosition multi-
+    symbol estimation round-trip (38.211 table 7.4.1.1.2-3)."""
+    from srslte_tpu.phy.nr.dmrs import dmrs_subcarriers, dmrs_symbols
+
+    car = NrCarrier(n_prb=52, n_id=21)
+    g = NrGrant(prb_start=4, n_prb=20, mcs=14)
+    p = NrPdsch(car, rnti=0x4601, slot=6, grant=g,
+                dmrs_type=dmrs_type, dmrs_add_pos=add_pos)
+    # geometry: type 2 has 4 pilots/PRB in pairs, type 1 has 6 on the comb
+    ks = dmrs_subcarriers(car, dmrs_type)
+    per_prb = len(ks) / car.n_prb
+    assert per_prb == (6 if dmrs_type == 1 else 4)
+    assert len(dmrs_symbols(add_pos)) == add_pos + 1
+    rng = np.random.default_rng(dmrs_type * 10 + add_pos)
+    bits = jnp.asarray(rng.integers(0, 2, g.tbs).astype(np.float32))
+    tx = p.encode(bits)
+    gtx = np.asarray(tx)
+    # every DMRS symbol is populated within the allocation only
+    for l in dmrs_symbols(add_pos):
+        row = np.abs(gtx[l])
+        assert row[4 * 12 : 24 * 12].sum() > 0
+        assert row[: 4 * 12].sum() == 0 and row[24 * 12 :].sum() == 0
+    k = np.arange(car.nof_re)
+    H = 1.0 + 0.35 * np.exp(-2j * np.pi * k * 2 / car.nof_re)
+    rx = gtx * H[None, :] + 0.02 * (
+        rng.standard_normal(gtx.shape) + 1j * rng.standard_normal(gtx.shape))
+    out, ok, _ = p.decode(jnp.asarray(rx.astype(np.complex64)))
+    assert bool(ok)
+    assert np.array_equal(np.asarray(out), np.asarray(bits))
