@@ -22,6 +22,9 @@ import numpy as np  # noqa: E402
 from srslte_tpu.enb import EnbApp  # noqa: E402
 from srslte_tpu.phy.common.params import Cell  # noqa: E402
 from srslte_tpu.runtime import SamplePipeRx, SamplePipeTx  # noqa: E402
+from srslte_tpu.utils import crash  # noqa: E402
+
+crash.install()
 
 
 def main():

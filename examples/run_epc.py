@@ -20,6 +20,9 @@ jax.config.update("jax_platforms", "cpu")
 
 from srslte_tpu.epc import Hss  # noqa: E402
 from srslte_tpu.epc.wire import EpcApp  # noqa: E402
+from srslte_tpu.utils import crash  # noqa: E402
+
+crash.install()
 
 IMSI = "001010123456789"
 K = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")

@@ -27,6 +27,9 @@ from srslte_tpu.runtime import SamplePipeRx, SamplePipeTx  # noqa: E402
 from srslte_tpu.security.milenage import compute_opc  # noqa: E402
 from srslte_tpu.ue import UeApp  # noqa: E402
 from srslte_tpu.ue_stack import SoftUsim, UeNas  # noqa: E402
+from srslte_tpu.utils import crash  # noqa: E402
+
+crash.install()
 
 IMSI = "001010123456789"
 K = bytes.fromhex("465b5ce8b199b49faa5f0a2ee238a6bc")

@@ -155,3 +155,24 @@ def test_zmq_rf_wire_protocol():
     assert got is not None and np.array_equal(got, burst)
     srv.close()
     cli.close()
+
+
+def test_crash_handler(tmp_path):
+    """Crash diagnostics file (crash_handler.cc analog): armed banner on
+    install, uncaught-exception backtrace appended via the excepthook."""
+    import sys
+
+    from srslte_tpu.utils import crash
+
+    path = str(tmp_path / "bt.crash")
+    crash.install(path)
+    try:
+        try:
+            raise RuntimeError("boom-for-test")
+        except RuntimeError:
+            sys.excepthook(*sys.exc_info())
+        text = open(path).read()
+        assert "crash handler armed" in text and "pid=" in text
+        assert "uncaught exception" in text and "boom-for-test" in text
+    finally:
+        crash.uninstall()
