@@ -28,12 +28,21 @@ NOF_PILOTS_PER_GROUP = 18  # 3 pilots/RB x 6 RB
 
 @dataclass(frozen=True)
 class Coreset:
-    """Control resource set: bitmap over 6-RB groups x 1-3 symbols."""
+    """Control resource set: bitmap over 6-RB groups x 1-3 symbols.
+
+    interleaved=True enables the 38.211 §7.3.2.2 interleaved CCE-to-REG
+    mapping (REG bundles of reg_bundle_size REGs, block interleaver with
+    interleaver_size rows, shift n_shift = shift_index or N_ID_cell).
+    """
 
     freq_resources: tuple[bool, ...]
     duration: int = 1
     id: int = 0
     dmrs_scrambling_id: int | None = None
+    interleaved: bool = False
+    reg_bundle_size: int = 6  # L in {2, 6} (dur 1-2) / {3, 6} (dur 3)
+    interleaver_size: int = 2  # R in {2, 3, 6}
+    shift_index: int | None = None  # n_shift; None -> N_ID_cell
 
     @property
     def bw_prb(self) -> int:
@@ -88,9 +97,42 @@ def _candidate_res(carrier: NrCarrier, coreset: Coreset, ncce: int,
     (absolute 6-RB-group position times 18, dmrs_pdcch.c sequence_skip).
     """
     dur = coreset.duration
+    data, dmrs, seq = [], [], []
+    if coreset.interleaved:
+        # 38.211 §7.3.2.2: REGs numbered time-first over the active PRBs;
+        # bundle j = REGs {jL..jL+L-1}; CCE i owns bundles f(6i/L + m)
+        # with f(cR + r) = (rC + c + n_shift) mod n_bundles.
+        Lb, R = coreset.reg_bundle_size, coreset.interleaver_size
+        prbs = [6 * g + o for g, a in enumerate(coreset.freq_resources)
+                if a for o in range(6)]
+        n_bund = len(prbs) * dur // Lb
+        if n_bund % R:
+            raise ValueError(f"interleaver: {n_bund} bundles not divisible"
+                             f" by R={R}")
+        C = n_bund // R
+        shift = (carrier.n_id if coreset.shift_index is None
+                 else coreset.shift_index)
+        per_cce = 6 // Lb
+        for i in range(agg_l):
+            for m in range((ncce + i) * per_cce, (ncce + i + 1) * per_cce):
+                c_col, r_row = divmod(m, R)
+                b = (r_row * C + c_col + shift) % n_bund
+                for reg in range(b * Lb, (b + 1) * Lb):
+                    l, prb = reg % dur, prbs[reg // dur]
+                    for k in range(prb * NRE, (prb + 1) * NRE):
+                        if k % 4 == 1:
+                            dmrs.append(l * carrier.nof_re + k)
+                            seq.append(k // 4)
+                        else:
+                            data.append(l * carrier.nof_re + k)
+        # map in increasing (l, k) like the contiguous path, so the per-RB
+        # pilot/data alignment the equalizer relies on is preserved
+        data.sort()
+        order = np.argsort(np.array(dmrs))
+        return (np.array(data, np.int32), np.array(dmrs, np.int32)[order],
+                np.array(seq, np.int64)[order])
     k_begin = ncce * 6 * NRE // dur
     k_end = k_begin + agg_l * 6 * NRE // dur
-    data, dmrs, seq = [], [], []
     for l in range(dur):
         k = 0  # RE counter over the CORESET's active groups
         for g, active in enumerate(coreset.freq_resources):

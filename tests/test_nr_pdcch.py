@@ -139,3 +139,52 @@ def test_pdcch_nr_ue_scrambling_id():
     grid = pd.encode(grid, payload, rnti, locs[0], 4)
     hit = pd.search(grid, rnti, len(payload), [(n, 4) for n in locs])
     assert hit is not None and np.array_equal(hit[1], payload)
+
+
+@pytest.mark.parametrize("dur,Lb,R", [(1, 6, 2), (1, 2, 3), (2, 6, 2)])
+def test_interleaved_cce_to_reg_partition(dur, Lb, R):
+    """38.211 §7.3.2.2: with interleaving, the CCEs still partition the
+    CORESET's REs, and at least one CCE's REGs are non-contiguous."""
+    from srslte_tpu.phy.nr.pdcch_nr import _candidate_res
+
+    car = NrCarrier(n_prb=48, n_id=17)
+    cs = Coreset(tuple([True] * 8), duration=dur, id=1, interleaved=True,
+                 reg_bundle_size=Lb, interleaver_size=R)
+    cs_plain = Coreset(tuple([True] * 8), duration=dur, id=1)
+    seen = set()
+    moved = 0
+    for ncce in range(cs.n_cce):
+        data, dmrs, _ = _candidate_res(car, cs, ncce, 1)
+        res = set(data.tolist()) | set(dmrs.tolist())
+        assert len(res) == 6 * 12  # one CCE = 6 REGs = 72 REs
+        assert not (seen & res)
+        seen |= res
+        d0, m0, _ = _candidate_res(car, cs_plain, ncce, 1)
+        if res != set(d0.tolist()) | set(m0.tolist()):
+            moved += 1
+    assert len(seen) == cs.bw_prb * dur * 12
+    assert moved > 0  # the interleaver is a nontrivial REG permutation
+
+
+def test_pdcch_nr_interleaved_roundtrip():
+    """Blind search finds the DCI on an interleaved CORESET through a
+    frequency-selective channel (per-RB chest must follow the scatter)."""
+    car = NrCarrier(n_prb=48, n_id=17)
+    cs = Coreset(tuple([True] * 8), duration=1, id=1, interleaved=True,
+                 reg_bundle_size=2, interleaver_size=2, shift_index=11)
+    ss = NrSearchSpace(ue_specific=True, nof_candidates=(0, 2, 2, 1, 0))
+    rnti, slot = 0x4601, 3
+    pd = NrPdcch(car, cs, slot=slot)
+    rng = np.random.default_rng(23)
+    payload = rng.integers(0, 2, 39).astype(np.uint8)
+    locs = pdcch_nr_locations(cs, ss, rnti, 2, slot)
+    grid = jnp.zeros((NSYMB_SLOT, car.nof_re), np.complex64)
+    grid = pd.encode(grid, payload, rnti, locs[0], 4)
+    k = np.arange(car.nof_re)
+    H = 1.0 + 0.4 * np.exp(-2j * np.pi * k * 3 / car.nof_re)
+    rx = np.asarray(grid) * H[None, :] + 0.04 * (
+        rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape))
+    hit = pd.search(jnp.asarray(rx.astype(np.complex64)), rnti,
+                    len(payload), [(n, 4) for n in locs])
+    assert hit is not None and hit[0] == (locs[0], 4)
+    assert np.array_equal(hit[1], payload)
