@@ -101,6 +101,16 @@ def mmse_sm_2layer(y, h, noise_var, pmi: int | None = None):
     else:
         w = jnp.asarray(_W2[pmi])
         heff = jnp.einsum("...rkn,kl->...rln", h.astype(jnp.complex64), w)
+    return mmse_2x2(y, heff, noise_var)
+
+
+def mmse_2x2(y, heff, noise_var):
+    """Closed-form per-RE 2x2 MMSE on an EFFECTIVE channel.
+
+    y [..., 2rx, n], heff [..., 2rx, 2layer, n] -> (x [..., 2, n],
+    per-layer gain [..., 2, n]).  Shared by the LTE TM3/TM4 paths above and
+    the NR 2-layer PDSCH (identity precoding, ports == layers).
+    """
     # A = H^H H + nv I  (2x2), x = A^-1 H^H y
     hh = jnp.conj(jnp.swapaxes(heff, -3, -2))  # [..., l, r, n]
     a = jnp.einsum("...lrn,...rmn->...lmn", hh, heff)

@@ -124,31 +124,51 @@ def nr_dlsch_encode(bits, cfg: NrDlschConfig):
     return jnp.concatenate(outs, axis=-1).astype(jnp.uint8)
 
 
-def nr_dlsch_decode(llr, cfg: NrDlschConfig, n_iter: int = 10):
-    """llr [..., G] (positive => bit 1) -> (bits [..., tbs], ok [...])."""
+def nr_dlsch_combine(llr, cfg: NrDlschConfig, state=None):
+    """Scatter llr [..., G] into full-codeword softbuffers [..., C, n_full].
+
+    state is a previous softbuffer to IR-combine into (HARQ retransmission
+    with cfg.rv of THIS transmission), or None for a first transmission.
+    Analog of srsran softbuffer + ldpc_rm.c combining (dl_harq_nr.cc keeps
+    one softbuffer per process and rate matching adds into it).
+    """
     import jax.numpy as jnp
 
     s = cfg.seg
-    batch = llr.shape[:-1]
-    data_per_cb = s.K_prime - s.cb_crc_len
-    parts, ok_parts = [], []
-    pos = 0
+    ws, pos = [], 0
     for r in range(s.C):
         e = cfg.e_per_cb[r]
+        # the filler-bit prior is already in `state` on retransmissions
         w = ldpc_rm_rx(llr[..., pos : pos + e], cfg.graph, cfg.rv, cfg.Qm,
-                       s.K_prime)
+                       s.K_prime, fill_val=(0.0 if state is not None
+                                            else -1e4))
         pos += e
-        hard, ok_pc = ldpc_decode(w, cfg.graph, n_iter=n_iter)
-        cb = hard[..., : s.K_prime]
-        if s.cb_crc_len:
-            ok_parts.append(crcmod.crc_ok_device(cb, *crcmod.LTE_CRC24B)
-                            & ok_pc)
-            cb = cb[..., :data_per_cb]
-        else:
-            ok_parts.append(ok_pc)
-        parts.append(cb)
-    b = jnp.concatenate(parts, axis=-1)  # [..., tbs + tb_crc]
+        ws.append(w)
+    w = jnp.stack(ws, axis=-2)
+    return w if state is None else state + w
+
+
+def nr_dlsch_decode_state(w, cfg: NrDlschConfig, n_iter: int = 10):
+    """Decode softbuffers [..., C, n_full] -> (bits [..., tbs], ok [...])."""
+    import jax.numpy as jnp
+
+    s = cfg.seg
+    data_per_cb = s.K_prime - s.cb_crc_len
+    hard, ok_pc = ldpc_decode(w, cfg.graph, n_iter=n_iter)  # [..., C, K..]
+    cb = hard[..., : s.K_prime]
+    if s.cb_crc_len:
+        ok_cb = crcmod.crc_ok_device(cb, *crcmod.LTE_CRC24B) & ok_pc
+        cb = cb[..., :data_per_cb]
+    else:
+        ok_cb = ok_pc
+    b = cb.reshape(cb.shape[:-2] + (s.C * data_per_cb,))
     poly = crcmod.LTE_CRC24A if s.tb_crc_len == 24 else crcmod.LTE_CRC16
     ok = crcmod.crc_ok_device(b, *poly)
-    ok = jnp.logical_and(ok, jnp.all(jnp.stack(ok_parts, -1), -1))
+    ok = jnp.logical_and(ok, jnp.all(ok_cb, -1))
     return b[..., : cfg.tbs].astype(jnp.uint8), ok
+
+
+def nr_dlsch_decode(llr, cfg: NrDlschConfig, n_iter: int = 10):
+    """llr [..., G] (positive => bit 1) -> (bits [..., tbs], ok [...])."""
+    return nr_dlsch_decode_state(nr_dlsch_combine(llr, cfg), cfg,
+                                 n_iter=n_iter)

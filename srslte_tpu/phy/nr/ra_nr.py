@@ -104,6 +104,7 @@ class NrGrant:
     harq_pid: int = 0
     start_sym: int = 1
     n_sym: int = 13  # mapping type A full slot (symbol 0 = PDCCH)
+    n_layers: int = 1
 
     @property
     def qm(self) -> int:
@@ -124,4 +125,4 @@ class NrGrant:
 
     @property
     def tbs(self) -> int:
-        return nr_tbs(self.n_re(), self.rate, self.qm)
+        return nr_tbs(self.n_re(), self.rate, self.qm, layers=self.n_layers)
