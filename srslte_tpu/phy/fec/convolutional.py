@@ -90,16 +90,47 @@ def _pred_tables():
     return pred.astype(np.int32), u_in, br.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=1)
+def _pred4_tables():
+    """Radix-4 (two-trellis-steps-merged) predecessor tables.
+
+    For each final state s'' and decision j = (b2<<1)|b1: the state two
+    steps back PRE[s'', j], and the 6 coded bits BR6[s'', j, 6] emitted on
+    the two transitions.  The input bits are recovered in traceback from
+    u_in: bit at the second step = u_in[s''], at the first = u_in[mid].
+    """
+    out_tab, _ = _branch_tables()
+    u_in = (np.arange(_NSTATES) >> 5).astype(np.int32)
+    sp = np.arange(_NSTATES)[:, None]  # final state s''
+    j = np.arange(4)[None, :]
+    b2, b1 = j >> 1, j & 1
+    mid = ((sp & 0x1F) << 1) | b2  # state after the first step [64, 4]
+    pre = ((mid & 0x1F) << 1) | b1  # state before both steps [64, 4]
+    out1 = out_tab[u_in[mid], pre]  # [64, 4, 3]
+    u2 = np.broadcast_to(u_in[sp], (64, 4))
+    out2 = out_tab[u2, mid]
+    br6 = np.concatenate([out1, out2], axis=-1)  # [64, 4, 6]
+    return pre.astype(np.int32), u_in, br6.astype(np.float32)
+
+
 def viterbi_decode(llr, length: int, tail_biting: bool = True):
     """Batched soft Viterbi: llr [B, 3L] (positive ⇒ bit 1) -> bits [B, L] uint8.
 
     Tail-biting wrap-around per viterbi.c: the sequence is processed TB_ITER
     times and the middle copy is returned.
+
+    Radix-4: the ACS scan merges two trellis steps per iteration (4
+    predecessors, 6 coded bits), halving the sequential depth of both the
+    forward scan and the traceback — the latency term that dominates the
+    batched PDCCH blind search.  An odd first step falls back to radix-2.
     """
     import jax
     import jax.numpy as jnp
 
     pred, u_in, br = _pred_tables()
+    pre4, _, br6 = _pred4_tables()
+    pre4_j = jnp.asarray(pre4)
+    br6_j = jnp.asarray(br6)
     pred_j = jnp.asarray(pred)
     br_j = jnp.asarray(br)  # [64, 2, 3]
 
@@ -108,6 +139,7 @@ def viterbi_decode(llr, length: int, tail_biting: bool = True):
     if tail_biting:
         sym = jnp.concatenate([sym] * TB_ITER, axis=1)
     t_total = sym.shape[1]
+    odd = t_total % 2
 
     def acs(m, y):
         # y: [B, 3]; metric of branch into s' from pred b: sum_k br*y_k
@@ -118,23 +150,46 @@ def viterbi_decode(llr, length: int, tail_biting: bool = True):
         new = new - new.max(axis=-1, keepdims=True)
         return new, dec.astype(jnp.int8)
 
+    def acs4(m, y6):
+        # y6: [B, 6] the two steps' coded LLRs
+        bm = jnp.einsum("sjk,nk->nsj", br6_j, y6)  # [B, 64, 4]
+        cand = m[:, pre4_j] + bm
+        dec = jnp.argmax(cand, axis=-1)
+        new = cand.max(axis=-1)
+        new = new - new.max(axis=-1, keepdims=True)
+        return new, dec.astype(jnp.int8)
+
     m0 = jnp.zeros((b, _NSTATES), jnp.float32)
     if not tail_biting:
         m0 = jnp.full((b, _NSTATES), -1e9).at[:, 0].set(0.0)
-    m_end, decisions = jax.lax.scan(acs, m0, jnp.moveaxis(sym, 1, 0))
+    dec0 = None
+    if odd:
+        m0, dec0 = acs(m0, sym[:, 0])
+    pairs = sym[:, odd:].reshape(b, (t_total - odd) // 2, 6)
+    m_end, decisions = jax.lax.scan(acs4, m0, jnp.moveaxis(pairs, 1, 0))
 
     best = jnp.argmax(m_end, axis=-1).astype(jnp.int32)  # [B]
 
     u_in_j = jnp.asarray(u_in)
 
-    def traceback(state, dec_t):
-        bit = u_in_j[state]
-        bsel = jnp.take_along_axis(dec_t, state[:, None], axis=1)[:, 0].astype(jnp.int32)
-        prev = ((state & 0x1F) << 1) | bsel
-        return prev, bit
+    def traceback4(state, dec_t):
+        # state at the END of the combined step; recover (bit_lo, bit_hi)
+        bit_hi = u_in_j[state]
+        j = jnp.take_along_axis(dec_t, state[:, None], axis=1)[:, 0].astype(jnp.int32)
+        mid = ((state & 0x1F) << 1) | (j >> 1)
+        bit_lo = u_in_j[mid]
+        prev = ((mid & 0x1F) << 1) | (j & 1)
+        return prev, jnp.stack([bit_lo, bit_hi], axis=-1)  # [B, 2]
 
-    _, bits_rev = jax.lax.scan(traceback, best, decisions[::-1])
-    bits = bits_rev[::-1].T.astype(jnp.uint8)  # [B, T_total]
+    state1, bits2_rev = jax.lax.scan(traceback4, best, decisions[::-1])
+    # [S4, B, 2] backward -> [B, 2*S4] forward
+    bits = bits2_rev[::-1].transpose(1, 0, 2).reshape(b, t_total - odd)
+    if odd:
+        # bit at time 0 = the input that led into state1 (dec0 only carries
+        # the path one step further back, which nothing reads)
+        del dec0
+        bits = jnp.concatenate([u_in_j[state1][:, None], bits], axis=1)
+    bits = bits.astype(jnp.uint8)  # [B, T_total]
     if tail_biting:
         mid = (TB_ITER // 2) * length
         bits = bits[:, mid : mid + length]

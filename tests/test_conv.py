@@ -36,7 +36,7 @@ def test_tail_biting_property():
     np.testing.assert_array_equal(np.roll(c1, 7, axis=0), c2)
 
 
-@pytest.mark.parametrize("length", [40, 72, 120])
+@pytest.mark.parametrize("length", [40, 43, 72, 120])
 def test_viterbi_noiseless(length):
     rng = np.random.default_rng(length)
     bits = rng.integers(0, 2, (8, length)).astype(np.uint8)
@@ -59,6 +59,20 @@ def test_viterbi_awgn():
     dec = np.asarray(cc.viterbi_decode(jnp.asarray(llr), length))
     blers = np.any(dec != bits, axis=1).sum()
     assert blers == 0
+
+
+@pytest.mark.parametrize("length", [43, 44])  # odd/even 3L radix-4 paths
+def test_viterbi_awgn_dci_sizes(length):
+    """DCI-sized blocks (payload+CRC ~ 43/44) through the radix-4 decoder
+    at the blind-search operating point."""
+    rng = np.random.default_rng(length)
+    bits = rng.integers(0, 2, (50, length)).astype(np.uint8)
+    coded = cc.conv_encode_np(bits)
+    x = 1.0 - 2.0 * coded.astype(np.float32)
+    sigma = np.sqrt(1 / (2 * 10 ** (2.0 / 10)))
+    llr = -(x + sigma * rng.standard_normal(x.shape).astype(np.float32))
+    dec = np.asarray(cc.viterbi_decode(jnp.asarray(llr), length))
+    assert np.any(dec != bits, axis=1).sum() == 0
 
 
 def test_rm_conv_roundtrip_pbch_sizes():
