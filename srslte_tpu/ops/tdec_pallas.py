@@ -83,7 +83,9 @@ def _tree_max(xs):
     return xs[0]
 
 
-def _siso_kernel(L: int, T: int, K: int, W: int):
+def _siso_kernel(L: int, T: int, K: int, W: int, emit_ext: bool = False):
+    """emit_ext: write the EXTRINSIC (llr - sa) instead of the posterior —
+    the turbo loop's inter-SISO algebra then needs no extra [B, K] pass."""
     _check_identities()
     LT = L + 2 * T
     S = T + L  # merged loop steps
@@ -151,7 +153,7 @@ def _siso_kernel(L: int, T: int, K: int, W: int):
                 b0r, b1r = beta_branches(Bh, sa_a, pr_a)
                 m0 = _tree_max([A[s] + b0r[s] for s in range(8)])
                 m1 = _tree_max([A[s] + b1r[s] for s in range(8)])
-                llr_ref[t_a - T, 0] = m1 - m0
+                llr_ref[t_a - T, 0] = (m1 - m0 - sa_a) if emit_ext else (m1 - m0)
 
             # ---- beta at t_b (store only the entries the alpha-side LLR
             # emission will read: t in [half, T+L)) ----
@@ -168,7 +170,7 @@ def _siso_kernel(L: int, T: int, K: int, W: int):
                 Ah = [a_scr[t_b, s] for s in range(8)]
                 m0 = _tree_max([Ah[s] + b0r[s] for s in range(8)])
                 m1 = _tree_max([Ah[s] + b1r[s] for s in range(8)])
-                llr_ref[t_b - T, 0] = m1 - m0
+                llr_ref[t_b - T, 0] = (m1 - m0 - sa_b) if emit_ext else (m1 - m0)
 
             return A_new, B_new
 
@@ -204,6 +206,31 @@ def prepare_windows(x, K: int, L: int = 128, T: int = 32, perm=None):
     return jnp.pad(g, ((0, 0), (0, n_pad - N))).reshape(LT, NP, SUB, LANE)
 
 
+@functools.partial(jax.jit, static_argnames=("K", "L", "T"))
+def prepare_windows_roll(x, K: int, L: int = 128, T: int = 32):
+    """Gather-free prepare_windows for the unpermuted case.
+
+    The window tensor is three shifted views of the L-blocked input
+    (previous window's tail, the window, next window's head) — pure
+    pad/reshape/slice/concat, no gather op for XLA to serialize.  Output is
+    bit-identical to prepare_windows(x, K, L, T).
+    """
+    B = x.shape[0]
+    W = -(-K // L)
+    N = B * W
+    LT = L + 2 * T
+    n_pad = -(-N // TILE) * TILE
+    NP = n_pad // TILE
+    xp = jnp.pad(x, ((0, 0), (0, W * L - K)))  # zeros == inactive mask
+    base = xp.reshape(B, W, L)
+    zt = jnp.zeros((B, 1, T), x.dtype)
+    prev = jnp.concatenate([zt, base[:, :-1, L - T:]], axis=1)
+    nxt = jnp.concatenate([base[:, 1:, :T], zt], axis=1)
+    g = jnp.concatenate([prev, base, nxt], axis=2)  # [B, W, LT]
+    g = g.reshape(N, LT).T
+    return jnp.pad(g, ((0, 0), (0, n_pad - N))).reshape(LT, NP, SUB, LANE)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "K", "L", "T"))
 def prepare_beta_init(tail_x, tail_z, B: int, K: int, L: int = 128,
                       T: int = 32):
@@ -217,10 +244,11 @@ def prepare_beta_init(tail_x, tail_z, B: int, K: int, L: int = 128,
     return jnp.pad(b0, ((0, n_pad - N), (0, 0))).T.reshape(8, NP, SUB, LANE)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "K", "L", "T"))
+@functools.partial(jax.jit, static_argnames=("B", "K", "L", "T", "emit_ext"))
 def siso_from_windows(sa_w, pr_w, b0, B: int, K: int, L: int = 128,
-                      T: int = 32):
-    """Run the kernel on pre-built window tensors -> LLRs [B, K]."""
+                      T: int = 32, emit_ext: bool = False):
+    """Run the kernel on pre-built window tensors -> LLRs (or extrinsics,
+    with emit_ext) [B, K]."""
     W = -(-K // L)
     N = B * W
     LT = L + 2 * T
@@ -228,7 +256,7 @@ def siso_from_windows(sa_w, pr_w, b0, B: int, K: int, L: int = 128,
     NP = n_pad // TILE
     half = (LT - 1) // 2 + 1
     llr = pl.pallas_call(
-        _siso_kernel(L, T, K, W),
+        _siso_kernel(L, T, K, W, emit_ext),
         # off-TPU (tests, CI): run the kernel in the Pallas interpreter so
         # the cached/composed-gather decode path is exercised everywhere
         interpret=jax.default_backend() != "tpu",

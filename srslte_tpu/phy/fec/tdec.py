@@ -294,36 +294,40 @@ def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0,
     import os as _os
     if (use_pallas and window and sys.ndim == 2
             and _os.environ.get('SRSLTE_TPU_SISO_CACHE', '1') != '0'):
-        # cache the parity windows and tail-beta inits across iterations —
-        # only the systematic+apriori windows change per half-iteration
+        # cache the parity windows, the SYSTEMATIC windows (roll-built, no
+        # gather) and the tail-beta inits across iterations; both SISOs
+        # emit extrinsics, so the whole inter-SISO algebra per iteration is
+        # two composed window gathers (perms pi_inv and pi) + window-domain
+        # adds — no standalone [B, K] interleave/deinterleave pass at all
         from ...ops.tdec_pallas import (prepare_beta_init, prepare_windows,
+                                        prepare_windows_roll,
                                         siso_from_windows)
 
         B = sys.shape[0]
         L = window
+        w_sys = prepare_windows_roll(sys, k, L, 32)
         pr1_w = prepare_windows(par1, k, L, 32)
         pr2_w = prepare_windows(par2, k, L, 32)
         b01 = prepare_beta_init(t1x, t1z, B, k, L, 32)
         b02 = prepare_beta_init(t2x, t2z, B, k, L, 32)
-        siso1 = lambda sa: siso_from_windows(
-            prepare_windows(sa, k, L, 32), pr1_w, b01, B, k, L, 32)
-        # the QPP interleave folds into the window gather: siso2 consumes
-        # the UN-interleaved decoder-1 output directly (one composed gather
-        # instead of a [B, K] interleave + a window gather)
-        siso2_direct = lambda t: siso_from_windows(
-            prepare_windows(t, k, L, 32, perm=pi), pr2_w, b02, B, k, L, 32)
+        ext_1 = lambda w: siso_from_windows(w, pr1_w, b01, B, k, L, 32,
+                                            emit_ext=True)
+        ext_2 = lambda w: siso_from_windows(w, pr2_w, b02, B, k, L, 32,
+                                            emit_ext=True)
 
-        apr1 = jnp.zeros_like(sys) if apr0 is None else apr0
-        post = sys
+        # loop state: decoder-2 extrinsic in the INTERLEAVED domain
+        # (apr1 = ext2[pi_inv]); apr0 enters through one gather
+        ext2 = None if apr0 is None else apr0[..., pi]
+        e1 = jnp.zeros_like(sys)
         for _ in range(n_iter):
-            llr1 = siso1(sys + apr1)
-            # t = sys + ext1 (decoder-2 systematic input, natural order)
-            t = llr1 - apr1
-            llr2 = siso2_direct(t)
-            post = llr2[..., pi_inv]
-            # ext2 deinterleaved: in2[pi_inv] == t exactly (pure gathers),
-            # so apr1 = (llr2 - in2)[pi_inv] = post - t bit-for-bit
-            apr1 = post - t
+            w1 = w_sys if ext2 is None else (
+                w_sys + prepare_windows(ext2, k, L, 32, perm=pi_inv))
+            e1 = ext_1(w1)  # ext1, natural order
+            # decoder-2 systematic input in2 = (sys + ext1)[pi]: the QPP
+            # interleave folds into the window gather
+            ext2 = ext_2(prepare_windows(sys + e1, k, L, 32, perm=pi))
+        apr1 = ext2[..., pi_inv]
+        post = sys + e1 + apr1  # == llr2 deinterleaved
         hard = (post > 0).astype(jnp.uint8)
         if return_state:
             return hard, post, apr1

@@ -145,6 +145,14 @@ def test_pallas_cached_composed_gather_path():
         b = prepare_windows(x[:, pi], k, 128, 32)
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
+    # roll-built (gather-free) windows are bit-exact vs the gather build
+    from srslte_tpu.ops.tdec_pallas import prepare_windows_roll
+    for k in (136, 1024, 6144):
+        x = jnp.asarray(rng.standard_normal((2, k)).astype(np.float32))
+        a = prepare_windows_roll(x, k, 128, 32)
+        b = prepare_windows(x, k, 128, 32)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
     k, B = 136, 2
     bits = rng.integers(0, 2, (B, k)).astype(np.uint8)
     coded = np.stack([turbo.turbo_encode_np(b) for b in bits]).astype(np.float32)
