@@ -44,17 +44,36 @@ def occ_w(i: int, n: int, m: int) -> complex:
     return np.exp(2j * np.pi * rho / n)
 
 
+# 38.211 table 6.4.1.3.3.2-1 (intra-slot frequency hopping disabled):
+# DMRS symbol positions within a format 3/4 PUCCH, without / with
+# additionalDMRS.
+_F34_DMRS = {4: (1,), 5: (0, 3), 6: (1, 4), 7: (1, 4), 8: (1, 5), 9: (1, 6),
+             10: (2, 7), 11: (2, 7), 12: (2, 8), 13: (2, 9), 14: (3, 10)}
+_F34_DMRS_ADD = {**_F34_DMRS, 10: (1, 3, 6, 8), 11: (1, 3, 6, 9),
+                 12: (1, 4, 7, 10), 13: (1, 4, 7, 11), 14: (1, 5, 8, 12)}
+
+# 38.211 tables 6.3.2.6.3-1/2: format 4 pre-DFT block-spreading codes
+_F4_OCC = {
+    2: np.array([[1, 1], [1, -1]], np.complex64),
+    4: np.array([[1, 1, 1, 1], [1, -1j, -1, 1j],
+                 [1, -1, 1, -1], [1, 1j, -1, -1j]], np.complex64),
+}
+
+
 @dataclass(frozen=True)
 class NrPucchResource:
     """One PUCCH resource (srsran_pucch_nr_resource_t subset)."""
 
-    format: int  # 0, 1 or 2
+    format: int  # 0..4
     starting_prb: int
     start_symbol: int
     nof_symbols: int
     initial_cyclic_shift: int = 0  # m0, formats 0/1
     time_domain_occ: int = 0  # format 1
-    nof_prb: int = 1  # format 2
+    nof_prb: int = 1  # formats 2/3 (format 4 is always 1 PRB)
+    occ_length: int = 2  # format 4: N_sf in {2, 4}
+    occ_index: int = 0  # format 4
+    additional_dmrs: bool = False  # formats 3/4
 
 
 @dataclass(frozen=True)
@@ -234,6 +253,107 @@ class NrPucch:
         y = flat[..., jnp.asarray(data_idx)]
         xhat = y * jnp.conj(h) / jnp.maximum(jnp.abs(h) ** 2, 1e-12)
         llr = demod_soft(xhat, Modulation.QPSK)
+        cinit = ((rnti << 15) + self._n_id) % (1 << 31)
+        scr = gold_sequence(cinit, e)
+        llr = llr * jnp.asarray(1.0 - 2.0 * scr, jnp.float32)
+        return uci_decode(llr, a, list_size=list_size)
+
+    # -- formats 3 / 4 (DFT-s-OFDM, 38.211 §6.3.2.5/§6.3.2.6) ----------------
+    def _f34_symbols(self, res: NrPucchResource):
+        """(dmrs_l, data_l): symbol offsets within the resource."""
+        tab = _F34_DMRS_ADD if res.additional_dmrs else _F34_DMRS
+        dmrs = tab[res.nof_symbols]
+        data = tuple(l for l in range(res.nof_symbols) if l not in dmrs)
+        return dmrs, data
+
+    def _f34_dmrs_seq(self, res: NrPucchResource, l: int) -> np.ndarray:
+        """Low-PAPR DMRS r_uv^(alpha) of length M (dmrs_pucch.c formats 3/4:
+        m0 = 0 for format 3, the OCC-derived shift for format 4)."""
+        from ..chest.refsignal_ul import shifted
+
+        m0 = 0
+        if res.format == 4:
+            m0 = res.occ_index * (NRE // res.occ_length)
+        idx = self._alpha_idx(l, res.start_symbol, m0, 0)
+        return shifted(self._u, 0, res.nof_prb, 2 * np.pi * idx / NRE)
+
+    def _f34_e(self, res: NrPucchResource) -> int:
+        """Coded UCI bits carried (QPSK; pi/2-BPSK halves this - not done)."""
+        _, data_l = self._f34_symbols(res)
+        m = res.nof_prb * NRE
+        spread = res.occ_length if res.format == 4 else 1
+        return len(data_l) * (m // spread) * 2
+
+    def format34_encode(self, grid, res: NrPucchResource,
+                        uci_bits: np.ndarray, rnti: int):
+        """Formats 3/4: UCI -> scramble -> QPSK -> (format 4: pre-DFT
+        block spreading) -> transform precoding -> map; DMRS low-PAPR
+        sequences on the table symbols (pucch_nr.c format 3/4 encode +
+        dmrs_pucch.c).  QPSK only (no pi/2-BPSK) and no intra-slot hopping.
+        """
+        import jax.numpy as jnp
+
+        from ..phch.dft_precoding import dft_precode
+
+        m = res.nof_prb * NRE
+        dmrs_l, data_l = self._f34_symbols(res)
+        e = self._f34_e(res)
+        coded = uci_encode(np.asarray(uci_bits, np.uint8), e).copy()
+        cinit = ((rnti << 15) + self._n_id) % (1 << 31)
+        coded ^= gold_sequence(cinit, e)
+        d = modulate(jnp.asarray(coded), Modulation.QPSK)  # [e/2]
+        per_sym = e // 2 // len(data_l)
+        k0 = res.starting_prb * NRE
+        for i, l in enumerate(data_l):
+            blk = d[i * per_sym : (i + 1) * per_sym]
+            if res.format == 4:
+                w = _F4_OCC[res.occ_length][res.occ_index]
+                z = jnp.concatenate([blk * w[c] for c in range(res.occ_length)])
+            else:
+                z = blk
+            y = dft_precode(z)
+            grid = grid.at[..., res.start_symbol + l, k0 : k0 + m].set(y)
+        for l in dmrs_l:
+            grid = grid.at[..., res.start_symbol + l, k0 : k0 + m].set(
+                jnp.asarray(self._f34_dmrs_seq(res, l)))
+        return grid
+
+    def format34_decode(self, grid, res: NrPucchResource, a: int, rnti: int,
+                        list_size: int = 8):
+        """-> (uci_bits [a], ok): LS chest on the DMRS symbols, MMSE-lite
+        equalize, inverse transform precoding, (format 4) despreading,
+        soft demod, descramble, UCI decode."""
+        import jax.numpy as jnp
+
+        from ..phch.dft_precoding import dft_deprecode
+
+        m = res.nof_prb * NRE
+        dmrs_l, data_l = self._f34_symbols(res)
+        k0 = res.starting_prb * NRE
+        ls = []
+        for l in dmrs_l:
+            y = grid[..., res.start_symbol + l, k0 : k0 + m]
+            ls.append(y * jnp.conj(jnp.asarray(self._f34_dmrs_seq(res, l))))
+        h = jnp.mean(jnp.stack(ls, axis=0), axis=0)  # [..., M]
+        if res.format == 4:
+            # average the LS estimate over the PRB: a co-scheduled UE on a
+            # different cyclic shift is a full-period phase ramp across the
+            # 12 subcarriers, so the PRB mean cancels it exactly
+            h = jnp.broadcast_to(jnp.mean(h, axis=-1, keepdims=True), h.shape)
+        llrs = []
+        for l in data_l:
+            y = grid[..., res.start_symbol + l, k0 : k0 + m]
+            xf = y * jnp.conj(h) / jnp.maximum(jnp.abs(h) ** 2, 1e-12)
+            x = dft_deprecode(xf)
+            if res.format == 4:
+                w = _F4_OCC[res.occ_length][res.occ_index]
+                per = m // res.occ_length
+                chunks = x.reshape(x.shape[:-1] + (res.occ_length, per))
+                x = jnp.einsum("...cp,c->...p", chunks,
+                               jnp.conj(jnp.asarray(w))) / res.occ_length
+            llrs.append(demod_soft(x, Modulation.QPSK))
+        llr = jnp.concatenate(llrs, axis=-1)
+        e = self._f34_e(res)
         cinit = ((rnti << 15) + self._n_id) % (1 << 31)
         scr = gold_sequence(cinit, e)
         llr = llr * jnp.asarray(1.0 - 2.0 * scr, jnp.float32)

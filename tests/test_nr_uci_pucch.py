@@ -152,3 +152,63 @@ def test_pucch_format2_multiuser_fdm():
     got2, ok2 = pu.format2_decode(rx, r2, 10, rnti=0x200)
     assert ok1 and ok2
     assert np.array_equal(got1, u1) and np.array_equal(got2, u2)
+
+
+@pytest.mark.parametrize("a,nprb,nsym,add", [(16, 1, 4, False),
+                                             (40, 2, 10, False),
+                                             (60, 3, 14, True)])
+def test_pucch_format3_roundtrip(a, nprb, nsym, add):
+    """Format 3: DFT-s-OFDM UCI with low-PAPR DMRS (pucch_nr.c format 3 +
+    dmrs_pucch.c, 38.211 §6.3.2.5 / table 6.4.1.3.3.2-1)."""
+    car = NrCarrier(n_prb=52, n_id=123)
+    pu = NrPucch(car, slot=3)
+    rng = np.random.default_rng(a)
+    res = NrPucchResource(format=3, starting_prb=20, start_symbol=14 - nsym,
+                          nof_symbols=nsym, nof_prb=nprb,
+                          additional_dmrs=add)
+    uci = rng.integers(0, 2, a).astype(np.uint8)
+    g = jnp.zeros((NSYMB_SLOT, car.nof_re), np.complex64)
+    g = pu.format34_encode(g, res, uci, rnti=0x4601)
+    # the DFT-precoded payload stays unit-average-power per used RE
+    used = np.asarray(g)[res.start_symbol:, 20 * 12 : (20 + nprb) * 12]
+    assert abs(np.mean(np.abs(used) ** 2) - 1.0) < 0.15
+    got, ok = pu.format34_decode(_chan(g, rng), res, a, rnti=0x4601)
+    assert ok and np.array_equal(got, uci)
+
+
+@pytest.mark.parametrize("occ_len,occ_idx,a", [(2, 0, 10), (2, 1, 14),
+                                               (4, 2, 8)])
+def test_pucch_format4_roundtrip(occ_len, occ_idx, a):
+    """Format 4: pre-DFT block spreading (38.211 tables 6.3.2.6.3-1/2)."""
+    car = NrCarrier(n_prb=52, n_id=55)
+    pu = NrPucch(car, slot=7)
+    rng = np.random.default_rng(occ_len * 10 + occ_idx)
+    res = NrPucchResource(format=4, starting_prb=5, start_symbol=0,
+                          nof_symbols=14, occ_length=occ_len,
+                          occ_index=occ_idx)
+    uci = rng.integers(0, 2, a).astype(np.uint8)
+    g = jnp.zeros((NSYMB_SLOT, car.nof_re), np.complex64)
+    g = pu.format34_encode(g, res, uci, rnti=0x777)
+    got, ok = pu.format34_decode(_chan(g, rng), res, a, rnti=0x777)
+    assert ok and np.array_equal(got, uci)
+
+
+def test_pucch_format4_multiuser_occ():
+    """Two UEs share the SAME PRB/symbols on different OCC indices: the
+    despreader + cyclic-shifted DMRS separate them (the point of format 4,
+    pucch_nr.c format 4 spreading)."""
+    car = NrCarrier(n_prb=52, n_id=55)
+    pu = NrPucch(car, slot=7)
+    rng = np.random.default_rng(11)
+    mk = lambda i: NrPucchResource(format=4, starting_prb=5, start_symbol=0,
+                                   nof_symbols=14, occ_length=2, occ_index=i)
+    u1 = rng.integers(0, 2, 8).astype(np.uint8)
+    u2 = rng.integers(0, 2, 8).astype(np.uint8)
+    z = jnp.zeros((NSYMB_SLOT, car.nof_re), np.complex64)
+    g = pu.format34_encode(z, mk(0), u1, rnti=0x100) \
+        + pu.format34_encode(z, mk(1), u2, rnti=0x200)
+    rx = _chan(g, rng)
+    got1, ok1 = pu.format34_decode(rx, mk(0), 8, rnti=0x100)
+    got2, ok2 = pu.format34_decode(rx, mk(1), 8, rnti=0x200)
+    assert ok1 and np.array_equal(got1, u1)
+    assert ok2 and np.array_equal(got2, u2)
