@@ -55,6 +55,18 @@ from ..phy.fec.tdec import NEG, _tail_beta, _trellis_unrolled
 SUB, LANE = 8, 128
 TILE = SUB * LANE  # windows per program (one full vreg per state metric)
 
+# bf16 variant: a (16, 128) bf16 array is ONE packed vreg (the Mosaic min
+# tile for bfloat16), so doubling the sublane count doubles windows-per-
+# instruction.  Path metrics then need per-step normalization: bf16 keeps
+# f32's exponent but only 8 mantissa bits, and unnormalized metrics grow to
+# ~4e3 over an L+2T window (resolution 16 — fatal); pinned to state 0 = 0
+# they stay within the trellis mixing bound (a few x max|gamma|).
+SUB_BF16 = 16
+
+
+def _subs_for(dtype) -> int:
+    return SUB_BF16 if dtype == jnp.bfloat16 else SUB
+
 
 @functools.lru_cache(maxsize=1)
 def _check_identities():
@@ -83,7 +95,8 @@ def _tree_max(xs):
     return xs[0]
 
 
-def _siso_kernel(L: int, T: int, K: int, W: int, emit_ext: bool = False):
+def _siso_kernel(L: int, T: int, K: int, W: int, emit_ext: bool = False,
+                 dtype=jnp.float32):
     """emit_ext: write the EXTRINSIC (llr - sa) instead of the posterior —
     the turbo loop's inter-SISO algebra then needs no extra [B, K] pass."""
     _check_identities()
@@ -91,15 +104,18 @@ def _siso_kernel(L: int, T: int, K: int, W: int, emit_ext: bool = False):
     S = T + L  # merged loop steps
     half = (LT - 1) // 2 + 1  # first i with t_a=i visited after beta
     OFF = half - T  # beta history only holds indices [OFF, L)
-    f32 = jnp.float32
+    f32 = dtype
+    subs = _subs_for(dtype)
+    tile = subs * LANE
+    norm = dtype == jnp.bfloat16  # pin state 0 to 0 each step (see SUB_BF16)
 
     preds, succs = _trellis_unrolled()
 
     def kernel(sa_ref, pr_ref, b0_ref, llr_ref, a_scr, b_scr):
         # window index of each (sublane, lane) element of this program
-        sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
-        ln = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
-        w_of = (pl.program_id(0) * TILE + sub * LANE + ln) % W
+        sub = jax.lax.broadcasted_iota(jnp.int32, (subs, LANE), 0)
+        ln = jax.lax.broadcasted_iota(jnp.int32, (subs, LANE), 1)
+        w_of = (pl.program_id(0) * tile + sub * LANE + ln) % W
 
         def live_at(t):
             pos = w_of * L + (t - T)
@@ -146,6 +162,10 @@ def _siso_kernel(L: int, T: int, K: int, W: int, emit_ext: bool = False):
             ra = alpha_step(A, sa_a, pr_a)
             live_a = live_at(t_a)
             A_new = [jnp.where(live_a, ra[s], A[s]) for s in range(8)]
+            if norm:
+                a0 = A_new[0]
+                A_new = [jnp.zeros((subs, LANE), f32)] + \
+                    [A_new[s] - a0 for s in range(1, 8)]
 
             # alpha-side LLR for t_a in [half, T+L): beta history is complete
             if half <= t_a < T + L:
@@ -164,6 +184,10 @@ def _siso_kernel(L: int, T: int, K: int, W: int, emit_ext: bool = False):
             live_b = live_at(t_b)
             B_new = [jnp.where(live_b, jnp.maximum(b0r[s], b1r[s]), B[s])
                      for s in range(8)]
+            if norm:
+                nb0 = B_new[0]
+                B_new = [jnp.zeros((subs, LANE), f32)] + \
+                    [B_new[s] - nb0 for s in range(1, 8)]
 
             # beta-side LLR for t_b in [T, half): alpha history is complete
             if T <= t_b < half:
@@ -174,8 +198,9 @@ def _siso_kernel(L: int, T: int, K: int, W: int, emit_ext: bool = False):
 
             return A_new, B_new
 
-        zero = jnp.zeros((SUB, LANE), f32)
-        neg_nonfirst = jnp.where(w_of == 0, f32(NEG), f32(0.0))
+        zero = jnp.zeros((subs, LANE), f32)
+        neg_nonfirst = jnp.where(w_of == 0, jnp.asarray(NEG, f32),
+                                 jnp.asarray(0.0, f32))
         carry = ([zero] + [neg_nonfirst] * 7, [b0_ref[s, 0] for s in range(8)])
         for i in range(S):
             carry = step(i, carry)
