@@ -112,14 +112,33 @@ def _siso_kernel(L: int, T: int, K: int, W: int, emit_ext: bool = False,
     preds, succs = _trellis_unrolled()
 
     def kernel(sa_ref, pr_ref, b0_ref, llr_ref, a_scr, b_scr):
-        # window index of each (sublane, lane) element of this program
+        # window index of each (sublane, lane) element of this program.
         sub = jax.lax.broadcasted_iota(jnp.int32, (subs, LANE), 0)
         ln = jax.lax.broadcasted_iota(jnp.int32, (subs, LANE), 1)
         w_of = (pl.program_id(0) * tile + sub * LANE + ln) % W
 
+        # bf16 runs (16, 128)-packed vregs, but an int32-sourced i1 compare
+        # mask carries (8, 128) tiling that Mosaic cannot relayout to the
+        # packed shape (and 16-bit iota is unsupported in hardware) — so the
+        # bf16 path blends arithmetically with 0/1 masks converted through
+        # f32 -> bf16 (an ordinary pack), while f32 keeps vector select.
+        if norm:
+            def as_mask(b):
+                return b.astype(jnp.float32).astype(f32)
+
+            def select(mask, a, b):
+                # NOT (a-b)*mask + b: with b = the -1e9 rail, (a-b) rounds
+                # to 1e9 in bf16 and re-adding b cancels to exactly 0
+                # instead of a.  The two-product form is exact at both ends.
+                return a * mask + b * (1.0 - mask)
+        else:
+            as_mask = None
+            select = jnp.where
+
         def live_at(t):
             pos = w_of * L + (t - T)
-            return jnp.logical_and(pos >= 0, pos < K)
+            live = jnp.logical_and(pos >= 0, pos < K)
+            return as_mask(live) if norm else live
 
         def gammas(sa, pr):
             return (None, pr, sa, sa + pr)
@@ -161,7 +180,7 @@ def _siso_kernel(L: int, T: int, K: int, W: int, emit_ext: bool = False,
                     a_scr[t_a, s] = A[s]
             ra = alpha_step(A, sa_a, pr_a)
             live_a = live_at(t_a)
-            A_new = [jnp.where(live_a, ra[s], A[s]) for s in range(8)]
+            A_new = [select(live_a, ra[s], A[s]) for s in range(8)]
             if norm:
                 a0 = A_new[0]
                 A_new = [jnp.zeros((subs, LANE), f32)] + \
@@ -182,7 +201,7 @@ def _siso_kernel(L: int, T: int, K: int, W: int, emit_ext: bool = False,
                     b_scr[t_b - T - OFF, s] = B[s]
             b0r, b1r = beta_branches(B, sa_b, pr_b)
             live_b = live_at(t_b)
-            B_new = [jnp.where(live_b, jnp.maximum(b0r[s], b1r[s]), B[s])
+            B_new = [select(live_b, jnp.maximum(b0r[s], b1r[s]), B[s])
                      for s in range(8)]
             if norm:
                 nb0 = B_new[0]
@@ -199,8 +218,11 @@ def _siso_kernel(L: int, T: int, K: int, W: int, emit_ext: bool = False,
             return A_new, B_new
 
         zero = jnp.zeros((subs, LANE), f32)
-        neg_nonfirst = jnp.where(w_of == 0, jnp.asarray(NEG, f32),
-                                 jnp.asarray(0.0, f32))
+        if norm:
+            neg_nonfirst = as_mask(w_of == 0) * jnp.asarray(NEG, f32)
+        else:
+            neg_nonfirst = jnp.where(w_of == 0, jnp.asarray(NEG, f32),
+                                     jnp.asarray(0.0, f32))
         carry = ([zero] + [neg_nonfirst] * 7, [b0_ref[s, 0] for s in range(8)])
         for i in range(S):
             carry = step(i, carry)
@@ -208,113 +230,132 @@ def _siso_kernel(L: int, T: int, K: int, W: int, emit_ext: bool = False,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("K", "L", "T"))
-def prepare_windows(x, K: int, L: int = 128, T: int = 32, perm=None):
-    """[B, K] -> kernel window layout [LT, NP, SUB, LANE] (cacheable: the
+@functools.partial(jax.jit, static_argnames=("K", "L", "T", "dtype"))
+def prepare_windows(x, K: int, L: int = 128, T: int = 32, perm=None,
+                    dtype=jnp.float32):
+    """[B, K] -> kernel window layout [LT, NP, subs, LANE] (cacheable: the
     parity inputs never change across turbo iterations).
 
     `perm` [K] composes an input permutation into the window gather:
     windows of x[:, perm] in ONE gather — the QPP interleave ahead of the
     second SISO never materializes as a [B, K] intermediate."""
     B = x.shape[0]
+    subs = _subs_for(dtype)
+    tile = subs * LANE
     W = -(-K // L)
     N = B * W
     LT = L + 2 * T
-    n_pad = -(-N // TILE) * TILE
-    NP = n_pad // TILE
+    n_pad = -(-N // tile) * tile
+    NP = n_pad // tile
     pos = (np.arange(W) * L)[:, None] + np.arange(-T, L + T)[None, :]  # [W, LT]
     idx = jnp.asarray(np.clip(pos, 0, K - 1).astype(np.int32))
     if perm is not None:
         idx = perm[idx].astype(jnp.int32)
     act = jnp.asarray(((pos >= 0) & (pos < K)).astype(np.float32))[None]
-    g = (x[:, idx] * act).reshape(N, LT).T  # [LT, N]
-    return jnp.pad(g, ((0, 0), (0, n_pad - N))).reshape(LT, NP, SUB, LANE)
+    g = (x.astype(dtype)[:, idx] * act.astype(dtype)).reshape(N, LT).T
+    return jnp.pad(g, ((0, 0), (0, n_pad - N))).reshape(LT, NP, subs, LANE)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "L", "T"))
-def prepare_windows_roll(x, K: int, L: int = 128, T: int = 32):
+@functools.partial(jax.jit, static_argnames=("K", "L", "T", "dtype"))
+def prepare_windows_roll(x, K: int, L: int = 128, T: int = 32,
+                         dtype=jnp.float32):
     """Gather-free prepare_windows for the unpermuted case.
 
     The window tensor is three shifted views of the L-blocked input
     (previous window's tail, the window, next window's head) — pure
     pad/reshape/slice/concat, no gather op for XLA to serialize.  Output is
-    bit-identical to prepare_windows(x, K, L, T).
+    bit-identical to prepare_windows(x, K, L, T, dtype=dtype).
     """
     B = x.shape[0]
+    subs = _subs_for(dtype)
+    tile = subs * LANE
     W = -(-K // L)
     N = B * W
     LT = L + 2 * T
-    n_pad = -(-N // TILE) * TILE
-    NP = n_pad // TILE
-    xp = jnp.pad(x, ((0, 0), (0, W * L - K)))  # zeros == inactive mask
+    n_pad = -(-N // tile) * tile
+    NP = n_pad // tile
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (0, W * L - K)))  # zeros == inactive
     base = xp.reshape(B, W, L)
-    zt = jnp.zeros((B, 1, T), x.dtype)
+    zt = jnp.zeros((B, 1, T), dtype)
     prev = jnp.concatenate([zt, base[:, :-1, L - T:]], axis=1)
     nxt = jnp.concatenate([base[:, 1:, :T], zt], axis=1)
     g = jnp.concatenate([prev, base, nxt], axis=2)  # [B, W, LT]
     g = g.reshape(N, LT).T
-    return jnp.pad(g, ((0, 0), (0, n_pad - N))).reshape(LT, NP, SUB, LANE)
+    return jnp.pad(g, ((0, 0), (0, n_pad - N))).reshape(LT, NP, subs, LANE)
 
 
-@functools.partial(jax.jit, static_argnames=("B", "K", "L", "T"))
+@functools.partial(jax.jit, static_argnames=("B", "K", "L", "T", "dtype"))
 def prepare_beta_init(tail_x, tail_z, B: int, K: int, L: int = 128,
-                      T: int = 32):
+                      T: int = 32, dtype=jnp.float32):
     """Exact tail beta for the last window (cacheable across iterations)."""
+    subs = _subs_for(dtype)
+    tile = subs * LANE
     W = -(-K // L)
     N = B * W
-    n_pad = -(-N // TILE) * TILE
-    NP = n_pad // TILE
-    bK = _tail_beta(tail_x, tail_z)  # [B, 8]
+    n_pad = -(-N // tile) * tile
+    NP = n_pad // tile
+    bK = _tail_beta(tail_x.astype(jnp.float32), tail_z.astype(jnp.float32))
     b0 = jnp.zeros((B, W, 8), jnp.float32).at[:, W - 1].set(bK).reshape(N, 8)
-    return jnp.pad(b0, ((0, n_pad - N), (0, 0))).T.reshape(8, NP, SUB, LANE)
+    b0 = jnp.pad(b0, ((0, n_pad - N), (0, 0))).astype(dtype)
+    return b0.T.reshape(8, NP, subs, LANE)
 
 
 @functools.partial(jax.jit, static_argnames=("B", "K", "L", "T", "emit_ext"))
 def siso_from_windows(sa_w, pr_w, b0, B: int, K: int, L: int = 128,
                       T: int = 32, emit_ext: bool = False):
     """Run the kernel on pre-built window tensors -> LLRs (or extrinsics,
-    with emit_ext) [B, K]."""
+    with emit_ext) [B, K].  Compute dtype (f32 or bf16) follows sa_w: a
+    (16, 128) bf16 tile is one packed vreg, so the bf16 path runs twice the
+    windows per VPU instruction and halves HBM traffic (ADVICE r2: this
+    plumbing makes the kernel's bf16 variant reachable)."""
+    dtype = sa_w.dtype
+    subs = _subs_for(dtype)
+    tile = subs * LANE
     W = -(-K // L)
     N = B * W
     LT = L + 2 * T
-    n_pad = -(-N // TILE) * TILE
-    NP = n_pad // TILE
+    n_pad = -(-N // tile) * tile
+    NP = n_pad // tile
     half = (LT - 1) // 2 + 1
     llr = pl.pallas_call(
-        _siso_kernel(L, T, K, W, emit_ext),
+        _siso_kernel(L, T, K, W, emit_ext, dtype=dtype),
         # off-TPU (tests, CI): run the kernel in the Pallas interpreter so
         # the cached/composed-gather decode path is exercised everywhere
         interpret=jax.default_backend() != "tpu",
         grid=(NP,),
         in_specs=[
-            pl.BlockSpec((LT, 1, SUB, LANE), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((LT, 1, subs, LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LT, 1, SUB, LANE), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((LT, 1, subs, LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 1, SUB, LANE), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((8, 1, subs, LANE), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((L, 1, SUB, LANE), lambda i: (0, i, 0, 0),
+        out_specs=pl.BlockSpec((L, 1, subs, LANE), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, NP, SUB, LANE), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((half, 8, SUB, LANE), jnp.float32),
-                        pltpu.VMEM((L + T - half, 8, SUB, LANE), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((L, NP, subs, LANE), dtype),
+        scratch_shapes=[pltpu.VMEM((half, 8, subs, LANE), dtype),
+                        pltpu.VMEM((L + T - half, 8, subs, LANE), dtype)],
         cost_estimate=pl.CostEstimate(
-            flops=int(n_pad * LT * 160), bytes_accessed=int(n_pad * LT * 12),
+            flops=int(n_pad * LT * 160),
+            bytes_accessed=int(n_pad * LT * 3 * np.dtype(dtype).itemsize),
             transcendentals=0),
     )(sa_w, pr_w, b0)
     out = llr.reshape(L, n_pad)[:, :N].reshape(L, B, W).transpose(1, 2, 0)
     return out.reshape(B, W * L)[:, :K]
 
 
-@functools.partial(jax.jit, static_argnames=("L", "T"))
-def siso_windowed_pallas(sys_apr, par, tail_x, tail_z, L: int = 128, T: int = 32):
-    """Drop-in replacement for tdec._siso_windowed (f32 [B, K] in/out).
+@functools.partial(jax.jit, static_argnames=("L", "T", "dtype"))
+def siso_windowed_pallas(sys_apr, par, tail_x, tail_z, L: int = 128,
+                         T: int = 32, dtype=jnp.float32):
+    """Drop-in replacement for tdec._siso_windowed ([B, K] in/out; returns
+    the input dtype's LLRs cast back to the input dtype).
 
     K need not be a multiple of L (the last window is partially inactive).
     """
     B, K = sys_apr.shape
-    sa_w = prepare_windows(sys_apr, K, L, T)
-    pr_w = prepare_windows(par, K, L, T)
-    b0 = prepare_beta_init(tail_x, tail_z, B, K, L, T)
-    return siso_from_windows(sa_w, pr_w, b0, B, K, L, T)
+    sa_w = prepare_windows(sys_apr, K, L, T, dtype=dtype)
+    pr_w = prepare_windows(par, K, L, T, dtype=dtype)
+    b0 = prepare_beta_init(tail_x, tail_z, B, K, L, T, dtype=dtype)
+    out = siso_from_windows(sa_w, pr_w, b0, B, K, L, T)
+    return out.astype(sys_apr.dtype)

@@ -249,6 +249,24 @@ def _pallas_ok() -> bool:
         return False
 
 
+def siso_dtype():
+    """Compute dtype for the Pallas SISO path: bf16 on real TPUs (a (16,128)
+    bf16 tile is one packed vreg — 2x windows per VPU instruction and half
+    the HBM traffic; per-step metric normalization keeps bf16's 8 mantissa
+    bits sufficient, cf. the reference's int8 decoder tdec_iteration_8),
+    f32 elsewhere.  Override with SRSLTE_TPU_SISO_DTYPE=f32|bf16."""
+    import os
+
+    import jax.numpy as jnp
+
+    v = os.environ.get("SRSLTE_TPU_SISO_DTYPE", "auto")
+    if v == "f32":
+        return jnp.float32
+    if v == "bf16":
+        return jnp.bfloat16
+    return jnp.bfloat16 if _pallas_ok() else jnp.float32
+
+
 def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0,
                  backend: str = "auto", apr0=None, return_state: bool = False):
     """Decode a batch: dcat_llr [B, 3*(K+4)] -> (hard bits [B, K] uint8, llr [B, K]).
@@ -275,7 +293,8 @@ def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0,
             if use_pallas:
                 from ...ops.tdec_pallas import siso_windowed_pallas
 
-                return siso_windowed_pallas(sa, pr, tx, tz, L=window, T=32)
+                return siso_windowed_pallas(sa, pr, tx, tz, L=window, T=32,
+                                            dtype=siso_dtype())
             return _siso_windowed(sa, pr, tx, tz, L=window, T=32)
         return _siso(sa, pr, tx, tz)
 
@@ -298,18 +317,43 @@ def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0,
         # gather) and the tail-beta inits across iterations; both SISOs
         # emit extrinsics, so the whole inter-SISO algebra per iteration is
         # two composed window gathers (perms pi_inv and pi) + window-domain
-        # adds — no standalone [B, K] interleave/deinterleave pass at all
+        # adds — no standalone [B, K] interleave/deinterleave pass at all.
+        # Everything runs in siso_dtype() (bf16 on TPU): gathers, window
+        # tensors and the kernel all halve their HBM traffic.
         from ...ops.tdec_pallas import (prepare_beta_init, prepare_windows,
                                         prepare_windows_roll,
                                         siso_from_windows)
 
+        dt = siso_dtype()
         B = sys.shape[0]
         L = window
-        w_sys = prepare_windows_roll(sys, k, L, 32)
-        pr1_w = prepare_windows(par1, k, L, 32)
-        pr2_w = prepare_windows(par2, k, L, 32)
-        b01 = prepare_beta_init(t1x, t1z, B, k, L, 32)
-        b02 = prepare_beta_init(t2x, t2z, B, k, L, 32)
+        if dt == jnp.bfloat16:
+            # Fixed-point discipline, like the reference's int8 decoder
+            # (tdec_iteration_8: demod LLRs scaled then SATURATED at +-127):
+            # bf16 has only 8 mantissa bits, so once extrinsics grow the
+            # path metrics' absolute resolution collapses.  Scale the batch
+            # so mean |sys| = 8, and clip every decoder input (sys+apriori
+            # and parity) at +-32 — extrinsic magnitude is then bounded at
+            # 4x the systematic scale exactly as int8's 127 bounds ~32-ish
+            # scaled inputs, keeping metric magnitudes (and thus bf16 step
+            # rounding) within ~2 LSBs of the decision margins.
+            sc = 8.0 / (jnp.mean(jnp.abs(sys)) + 1e-20)
+            clip = 32.0
+            sat = lambda x: jnp.clip(x, -clip, clip)
+        else:
+            sc = None
+            sat = lambda x: x
+
+        def scaled(x):
+            return x * sc if sc is not None else x
+
+        sys_s = scaled(sys)
+        sys_d = sys_s.astype(dt)
+        w_sys = prepare_windows_roll(sat(sys_s), k, L, 32, dtype=dt)
+        pr1_w = prepare_windows_roll(sat(scaled(par1)), k, L, 32, dtype=dt)
+        pr2_w = prepare_windows_roll(sat(scaled(par2)), k, L, 32, dtype=dt)
+        b01 = prepare_beta_init(scaled(t1x), scaled(t1z), B, k, L, 32, dtype=dt)
+        b02 = prepare_beta_init(scaled(t2x), scaled(t2z), B, k, L, 32, dtype=dt)
         ext_1 = lambda w: siso_from_windows(w, pr1_w, b01, B, k, L, 32,
                                             emit_ext=True)
         ext_2 = lambda w: siso_from_windows(w, pr2_w, b02, B, k, L, 32,
@@ -317,17 +361,22 @@ def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0,
 
         # loop state: decoder-2 extrinsic in the INTERLEAVED domain
         # (apr1 = ext2[pi_inv]); apr0 enters through one gather
-        ext2 = None if apr0 is None else apr0[..., pi]
-        e1 = jnp.zeros_like(sys)
+        ext2 = None if apr0 is None else scaled(apr0).astype(dt)[..., pi]
+        e1 = jnp.zeros_like(sys_d)
         for _ in range(n_iter):
-            w1 = w_sys if ext2 is None else (
-                w_sys + prepare_windows(ext2, k, L, 32, perm=pi_inv))
+            w1 = w_sys if ext2 is None else sat(
+                w_sys + prepare_windows(ext2, k, L, 32, perm=pi_inv, dtype=dt))
             e1 = ext_1(w1)  # ext1, natural order
             # decoder-2 systematic input in2 = (sys + ext1)[pi]: the QPP
             # interleave folds into the window gather
-            ext2 = ext_2(prepare_windows(sys + e1, k, L, 32, perm=pi))
-        apr1 = ext2[..., pi_inv]
-        post = sys + e1 + apr1  # == llr2 deinterleaved
+            ext2 = ext_2(prepare_windows(sat(sys_d + e1), k, L, 32, perm=pi,
+                                         dtype=dt))
+        apr1 = ext2[..., pi_inv].astype(jnp.float32)
+        if sc is not None:
+            apr1 = apr1 / sc
+            post = sys + e1.astype(jnp.float32) / sc + apr1
+        else:
+            post = sys + e1.astype(jnp.float32) + apr1
         hard = (post > 0).astype(jnp.uint8)
         if return_state:
             return hard, post, apr1

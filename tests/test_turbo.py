@@ -163,3 +163,67 @@ def test_pallas_cached_composed_gather_path():
     hx, _ = turbo_decode(llr, k, n_iter=2, backend="xla")
     assert np.array_equal(np.asarray(hp), np.asarray(hx))
     assert (np.asarray(hp) == bits).all()
+
+
+def test_pallas_bf16_siso_parity():
+    """bf16 SISO kernel (packed (16,128) tiles, per-step normalization,
+    arithmetic masking) agrees with the f32 kernel (ADVICE r2: makes the
+    bf16 variant reachable and tested).
+
+    Interpret-mode XLA-CPU compile time explodes super-linearly in the
+    kernel step count (S=40 steps >90 s, S=160 minutes), so CI runs a tiny
+    S=12 window config; the production shapes are exercised on real TPUs by
+    bench.py and the TPU-gated decoder-level check below.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from srslte_tpu.ops.tdec_pallas import (prepare_beta_init,
+                                            prepare_windows,
+                                            siso_from_windows)
+
+    rng = np.random.default_rng(7)
+    k, B, L, T = 40, 3, 8, 4
+    bits = rng.integers(0, 2, (B, k)).astype(np.uint8)
+    coded = np.stack([turbo.turbo_encode_np(b) for b in bits]).astype(np.float32)
+    sigma = 10 ** (-1.5 / 20)
+    y = (1 - 2 * coded) + sigma * rng.standard_normal(coded.shape)
+    llr = jnp.asarray(-y * 2 / sigma**2, jnp.float32)
+
+    d = k + 4
+    sys_, par1 = llr[:, :k], llr[:, d:d + k]
+    tails = jnp.zeros((B, 3), jnp.float32)
+    outs = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        sa_w = prepare_windows(sys_, k, L, T, dtype=dt)
+        pr_w = prepare_windows(par1, k, L, T, dtype=dt)
+        b0 = prepare_beta_init(tails, tails, B, k, L, T, dtype=dt)
+        outs[dt] = np.asarray(
+            siso_from_windows(sa_w, pr_w, b0, B, k, L, T), np.float32)
+    f32o, bf16o = outs[jnp.float32], outs[jnp.bfloat16]
+    # T=4 training halos make both kernels approximate; rounding paths
+    # diverge on near-zero LLRs, so gate on solidly confident positions.
+    confident = np.abs(f32o) > 0.2 * np.abs(f32o).max()
+    assert np.mean((f32o > 0) == (bf16o > 0), where=confident) > 0.99
+    assert np.corrcoef(f32o.ravel(), bf16o.ravel())[0, 1] > 0.98
+
+    if jax.default_backend() != "tpu":
+        return  # decoder-level bf16 needs the real kernel (see docstring)
+
+    import os
+    old = os.environ.get("SRSLTE_TPU_SISO_DTYPE")
+    os.environ["SRSLTE_TPU_SISO_DTYPE"] = "bf16"
+    try:
+        k2, B2 = 528, 3
+        bits2 = rng.integers(0, 2, (B2, k2)).astype(np.uint8)
+        coded2 = np.stack([turbo.turbo_encode_np(b)
+                           for b in bits2]).astype(np.float32)
+        y2 = (1 - 2 * coded2) + sigma * rng.standard_normal(coded2.shape)
+        llr2 = jnp.asarray(-y2 * 2 / sigma**2, jnp.float32)
+        hb, _ = turbo_decode(llr2, k2, n_iter=3, backend="pallas")
+        assert (np.asarray(hb) == bits2).all()
+    finally:
+        if old is None:
+            os.environ.pop("SRSLTE_TPU_SISO_DTYPE", None)
+        else:
+            os.environ["SRSLTE_TPU_SISO_DTYPE"] = old
