@@ -300,6 +300,30 @@ def prepare_beta_init(tail_x, tail_z, B: int, K: int, L: int = 128,
     return b0.T.reshape(8, NP, subs, LANE)
 
 
+@functools.partial(jax.jit, static_argnames=("B", "K", "L", "T"))
+def take_windows(wt, idx, B: int, K: int, L: int = 128, T: int = 32):
+    """CB-subset of a window tensor: rows of wt for code blocks idx.
+
+    wt: [lead, NP, subs, LANE] window-major layout (lead = LT or 8) whose
+    flattened window index is n = b*W + w for b in [0, B).  Returns the same
+    layout re-packed for the cap = len(idx) selected code blocks — the turbo
+    cascade's compaction step without rebuilding windows from LLRs.
+    """
+    dtype = wt.dtype
+    subs = _subs_for(dtype)
+    tile = subs * LANE
+    lead = wt.shape[0]
+    W = -(-K // L)
+    n_pad = wt.shape[1] * tile
+    flat = wt.reshape(lead, n_pad)[:, : B * W].reshape(lead, B, W)
+    sub = flat[:, idx]  # [lead, cap, W]
+    cap = idx.shape[0]
+    n2 = cap * W
+    n_pad2 = -(-n2 // tile) * tile
+    out = jnp.pad(sub.reshape(lead, n2), ((0, 0), (0, n_pad2 - n2)))
+    return out.reshape(lead, n_pad2 // tile, subs, LANE)
+
+
 @functools.partial(jax.jit, static_argnames=("B", "K", "L", "T", "emit_ext"))
 def siso_from_windows(sa_w, pr_w, b0, B: int, K: int, L: int = 128,
                       T: int = 32, emit_ext: bool = False):

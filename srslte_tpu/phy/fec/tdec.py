@@ -267,6 +267,159 @@ def siso_dtype():
     return jnp.bfloat16 if _pallas_ok() else jnp.float32
 
 
+# ---------------------------------------------------------------------------
+# Resumable decoder state (Pallas cached path)
+#
+# The turbo cascade in dlsch.py runs phases (1 iter -> CRC -> +1 iter -> CRC
+# -> compacted rest).  Rebuilding the window tensors, tail-beta inits and the
+# fixed-point scale from the dcat LLRs at every phase costs more device time
+# than a whole iteration — so the prepared tensors and the inter-SISO
+# extrinsics are threaded through the phases as one pytree.  Mirrors how the
+# reference keeps one srsran_tdec_t state across run_all calls
+# (turbodecoder.c:510 new_cb / :536 run_all).
+# ---------------------------------------------------------------------------
+
+from typing import Any, NamedTuple
+
+
+class TurboState(NamedTuple):
+    """Resumable turbo decoder state (pytree; static shape per (B, K))."""
+
+    sys: Any  # [B, K] f32 original systematic LLR (posterior exactness)
+    sys_d: Any  # [B, K] dtype, scaled, unsaturated
+    w_sys: Any  # window tensor of sat(scaled sys)
+    pr1_w: Any  # parity-1 windows (iteration-invariant)
+    pr2_w: Any
+    b01: Any  # tail-beta inits (iteration-invariant)
+    b02: Any
+    e1: Any  # [B, K] dtype, decoder-1 extrinsic (natural order)
+    ext2: Any  # [B, K] dtype, decoder-2 extrinsic (interleaved domain)
+    sc: Any  # [] f32 fixed-point scale (1.0 on the f32 path)
+
+
+_BF16_TARGET = 8.0  # mean |sys| after scaling
+_BF16_CLIP = 32.0  # decoder-input saturation (cf. tdec_iteration_8's +-127)
+
+
+def state_supported(k: int, window: int | None = 0) -> bool:
+    """True when the resumable Pallas state path applies for this K."""
+    import os
+
+    if os.environ.get("SRSLTE_TPU_SISO_CACHE", "1") == "0":
+        return False
+    if window == 0:
+        window = default_window(k) if k >= 256 else None
+    force = os.environ.get("SRSLTE_TPU_FORCE_PALLAS", "0") == "1"
+    return bool(window) and (_pallas_ok() or force)
+
+
+def _split_dcat(dcat_llr, k: int):
+    import jax.numpy as jnp
+
+    d = k + 4
+    d0, d1, d2 = dcat_llr[..., :d], dcat_llr[..., d : 2 * d], dcat_llr[..., 2 * d :]
+    sys, par1, par2 = d0[..., :k], d1[..., :k], d2[..., :k]
+    t1x = jnp.stack([d0[..., k], d2[..., k], d1[..., k + 1]], axis=-1)
+    t1z = jnp.stack([d1[..., k], d0[..., k + 1], d2[..., k + 1]], axis=-1)
+    t2x = jnp.stack([d0[..., k + 2], d2[..., k + 2], d1[..., k + 3]], axis=-1)
+    t2z = jnp.stack([d1[..., k + 2], d0[..., k + 3], d2[..., k + 3]], axis=-1)
+    return sys, par1, par2, (t1x, t1z), (t2x, t2z)
+
+
+def turbo_start(dcat_llr, k: int, L: int = 0, T: int = 32) -> TurboState:
+    """Prepare a resumable decoder state from dcat LLRs [B, 3*(K+4)]."""
+    import jax.numpy as jnp
+
+    from ...ops.tdec_pallas import prepare_beta_init, prepare_windows_roll
+
+    if L == 0:
+        L = default_window(k) or 128
+    dt = siso_dtype()
+    sys, par1, par2, (t1x, t1z), (t2x, t2z) = _split_dcat(dcat_llr, k)
+    B = sys.shape[0]
+    if dt == jnp.bfloat16:
+        sc = _BF16_TARGET / (jnp.mean(jnp.abs(sys)) + 1e-20)
+        sat = lambda x: jnp.clip(x, -_BF16_CLIP, _BF16_CLIP)
+    else:
+        sc = jnp.float32(1.0)
+        sat = lambda x: x
+    sys_s = sys * sc
+    return TurboState(
+        sys=sys,
+        sys_d=sys_s.astype(dt),
+        w_sys=prepare_windows_roll(sat(sys_s), k, L, T, dtype=dt),
+        pr1_w=prepare_windows_roll(sat(par1 * sc), k, L, T, dtype=dt),
+        pr2_w=prepare_windows_roll(sat(par2 * sc), k, L, T, dtype=dt),
+        b01=prepare_beta_init(t1x * sc, t1z * sc, B, k, L, T, dtype=dt),
+        b02=prepare_beta_init(t2x * sc, t2z * sc, B, k, L, T, dtype=dt),
+        e1=jnp.zeros_like(sys_s, dtype=dt),
+        ext2=jnp.zeros_like(sys_s, dtype=dt),
+        sc=sc,
+    )
+
+
+def turbo_step(st: TurboState, k: int, n_iter: int, L: int = 0, T: int = 32,
+               first: bool = False) -> TurboState:
+    """Run n_iter turbo iterations on a prepared state (resumable).
+
+    first=True skips the decoder-2-extrinsic window gather of the very first
+    sub-iteration (ext2 is identically zero in a fresh state).
+    """
+    import jax.numpy as jnp
+
+    from ...ops.tdec_pallas import prepare_windows, siso_from_windows
+
+    if L == 0:
+        L = default_window(k) or 128
+    dt = st.sys_d.dtype
+    B = st.sys_d.shape[0]
+    if dt == jnp.bfloat16:
+        sat = lambda x: jnp.clip(x, -_BF16_CLIP, _BF16_CLIP)
+    else:
+        sat = lambda x: x
+    pi = jnp.asarray(qpp_perm(k))
+    pi_inv = jnp.asarray(qpp_perm_inv(k))
+
+    e1, ext2 = st.e1, st.ext2
+    for it in range(n_iter):
+        if first and it == 0:
+            w1 = st.w_sys
+        else:
+            w1 = sat(st.w_sys + prepare_windows(ext2, k, L, T, perm=pi_inv,
+                                                dtype=dt))
+        e1 = siso_from_windows(w1, st.pr1_w, st.b01, B, k, L, T, emit_ext=True)
+        w2 = prepare_windows(sat(st.sys_d + e1), k, L, T, perm=pi, dtype=dt)
+        ext2 = siso_from_windows(w2, st.pr2_w, st.b02, B, k, L, T,
+                                 emit_ext=True)
+    return st._replace(e1=e1, ext2=ext2)
+
+
+def turbo_hard(st: TurboState, k: int):
+    """Posterior from state -> (hard bits [B, K] uint8, post f32, apr1 f32)."""
+    import jax.numpy as jnp
+
+    pi_inv = jnp.asarray(qpp_perm_inv(k))
+    apr1 = st.ext2[..., pi_inv].astype(jnp.float32) / st.sc
+    post = st.sys + st.e1.astype(jnp.float32) / st.sc + apr1
+    return (post > 0).astype(jnp.uint8), post, apr1
+
+
+def turbo_take(st: TurboState, idx, k: int, L: int = 0,
+               T: int = 32) -> TurboState:
+    """Compact the state to the code-block subset idx (static length)."""
+    from ...ops.tdec_pallas import take_windows
+
+    if L == 0:
+        L = default_window(k) or 128
+    B = st.sys_d.shape[0]
+    tw = lambda wt: take_windows(wt, idx, B, k, L, T)
+    return TurboState(
+        sys=st.sys[idx], sys_d=st.sys_d[idx],
+        w_sys=tw(st.w_sys), pr1_w=tw(st.pr1_w), pr2_w=tw(st.pr2_w),
+        b01=tw(st.b01), b02=tw(st.b02),
+        e1=st.e1[idx], ext2=st.ext2[idx], sc=st.sc)
+
+
 def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0,
                  backend: str = "auto", apr0=None, return_state: bool = False):
     """Decode a batch: dcat_llr [B, 3*(K+4)] -> (hard bits [B, K] uint8, llr [B, K]).
@@ -313,71 +466,19 @@ def turbo_decode(dcat_llr, k: int, n_iter: int = 5, window: int | None = 0,
     import os as _os
     if (use_pallas and window and sys.ndim == 2
             and _os.environ.get('SRSLTE_TPU_SISO_CACHE', '1') != '0'):
-        # cache the parity windows, the SYSTEMATIC windows (roll-built, no
-        # gather) and the tail-beta inits across iterations; both SISOs
-        # emit extrinsics, so the whole inter-SISO algebra per iteration is
-        # two composed window gathers (perms pi_inv and pi) + window-domain
-        # adds — no standalone [B, K] interleave/deinterleave pass at all.
-        # Everything runs in siso_dtype() (bf16 on TPU): gathers, window
-        # tensors and the kernel all halve their HBM traffic.
-        from ...ops.tdec_pallas import (prepare_beta_init, prepare_windows,
-                                        prepare_windows_roll,
-                                        siso_from_windows)
-
-        dt = siso_dtype()
-        B = sys.shape[0]
-        L = window
-        if dt == jnp.bfloat16:
-            # Fixed-point discipline, like the reference's int8 decoder
-            # (tdec_iteration_8: demod LLRs scaled then SATURATED at +-127):
-            # bf16 has only 8 mantissa bits, so once extrinsics grow the
-            # path metrics' absolute resolution collapses.  Scale the batch
-            # so mean |sys| = 8, and clip every decoder input (sys+apriori
-            # and parity) at +-32 — extrinsic magnitude is then bounded at
-            # 4x the systematic scale exactly as int8's 127 bounds ~32-ish
-            # scaled inputs, keeping metric magnitudes (and thus bf16 step
-            # rounding) within ~2 LSBs of the decision margins.
-            sc = 8.0 / (jnp.mean(jnp.abs(sys)) + 1e-20)
-            clip = 32.0
-            sat = lambda x: jnp.clip(x, -clip, clip)
-        else:
-            sc = None
-            sat = lambda x: x
-
-        def scaled(x):
-            return x * sc if sc is not None else x
-
-        sys_s = scaled(sys)
-        sys_d = sys_s.astype(dt)
-        w_sys = prepare_windows_roll(sat(sys_s), k, L, 32, dtype=dt)
-        pr1_w = prepare_windows_roll(sat(scaled(par1)), k, L, 32, dtype=dt)
-        pr2_w = prepare_windows_roll(sat(scaled(par2)), k, L, 32, dtype=dt)
-        b01 = prepare_beta_init(scaled(t1x), scaled(t1z), B, k, L, 32, dtype=dt)
-        b02 = prepare_beta_init(scaled(t2x), scaled(t2z), B, k, L, 32, dtype=dt)
-        ext_1 = lambda w: siso_from_windows(w, pr1_w, b01, B, k, L, 32,
-                                            emit_ext=True)
-        ext_2 = lambda w: siso_from_windows(w, pr2_w, b02, B, k, L, 32,
-                                            emit_ext=True)
-
-        # loop state: decoder-2 extrinsic in the INTERLEAVED domain
-        # (apr1 = ext2[pi_inv]); apr0 enters through one gather
-        ext2 = None if apr0 is None else scaled(apr0).astype(dt)[..., pi]
-        e1 = jnp.zeros_like(sys_d)
-        for _ in range(n_iter):
-            w1 = w_sys if ext2 is None else sat(
-                w_sys + prepare_windows(ext2, k, L, 32, perm=pi_inv, dtype=dt))
-            e1 = ext_1(w1)  # ext1, natural order
-            # decoder-2 systematic input in2 = (sys + ext1)[pi]: the QPP
-            # interleave folds into the window gather
-            ext2 = ext_2(prepare_windows(sat(sys_d + e1), k, L, 32, perm=pi,
-                                         dtype=dt))
-        apr1 = ext2[..., pi_inv].astype(jnp.float32)
-        if sc is not None:
-            apr1 = apr1 / sc
-            post = sys + e1.astype(jnp.float32) / sc + apr1
-        else:
-            post = sys + e1.astype(jnp.float32) + apr1
-        hard = (post > 0).astype(jnp.uint8)
+        # Resumable-state path: parity windows, SYSTEMATIC windows (roll-
+        # built, no gather) and tail-beta inits are prepared once and both
+        # SISOs emit extrinsics, so the whole inter-SISO algebra per
+        # iteration is two composed window gathers (perms pi_inv and pi) +
+        # window-domain adds — no standalone [B, K] interleave pass at all.
+        # Everything runs in siso_dtype() (bf16 on TPU; fixed-point
+        # discipline per _BF16_TARGET/_BF16_CLIP, cf. tdec_iteration_8).
+        st = turbo_start(dcat_llr, k, L=window, T=32)
+        if apr0 is not None:
+            st = st._replace(
+                ext2=(apr0 * st.sc)[..., pi].astype(st.sys_d.dtype))
+        st = turbo_step(st, k, n_iter, L=window, T=32, first=apr0 is None)
+        hard, post, apr1 = turbo_hard(st, k)
         if return_state:
             return hard, post, apr1
         return hard, post

@@ -196,16 +196,48 @@ def dlsch_decode(llr, cfg: DlschConfig, n_iter: int = 5, early: int = 1,
                                                           corder)
         cap = max(1, -(-ng // compact_frac))
 
+        # Decoder adapter: on the Pallas path the prepared window tensors /
+        # extrinsics thread through the phases as a resumable TurboState
+        # (tdec.turbo_start/step/hard/take) — re-preparing them from the
+        # dcat LLRs at every phase costs more than a whole iteration.  The
+        # XLA-scan fallback threads the decoder-1 a-priori instead.
+        from ..fec import tdec
+
+        if tdec.state_supported(K):
+            def dec_init(n):
+                st = tdec.turbo_step(tdec.turbo_start(flat, K), K, n,
+                                     first=True)
+                return tdec.turbo_hard(st, K)[0], st
+
+            def dec_more(st, n):
+                st = tdec.turbo_step(st, K, n)
+                return tdec.turbo_hard(st, K)[0], st
+
+            def dec_take(st, idx):
+                return tdec.turbo_take(st, idx, K)
+        else:
+            def dec_init(n):
+                hard, _, apr = turbo_decode(flat, K, n_iter=n,
+                                            return_state=True)
+                return hard, (flat, apr)
+
+            def dec_more(st, n):
+                f, a = st
+                hard, _, apr = turbo_decode(f, K, n_iter=n, apr0=a,
+                                            return_state=True)
+                return hard, (f, apr)
+
+            def dec_take(st, idx):
+                return (st[0][idx], st[1][idx])
+
         # phase 1: `early` iterations on everything (clean channels exit here)
-        hard1, _, apr1 = turbo_decode(flat, K, n_iter=early,
-                                      return_state=True)
+        hard1, st1 = dec_init(early)
         ok1 = cb_ok(hard1)
 
-        def phases23(flat=flat, hard1=hard1, ok1=ok1, apr1=apr1, K=K):
+        def phases23(hard1=hard1, ok1=ok1, st1=st1, K=K):
             # phase 2: resume the SAME decoder state for mid-early more
             # iterations (warm start — equals a `mid`-iteration decode)
-            hard2, _, apr2 = turbo_decode(flat, K, n_iter=mid - early,
-                                          apr0=apr1, return_state=True)
+            hard2, st2 = dec_more(st1, mid - early)
             if mid >= n_iter:
                 return hard2
             ok2 = cb_ok(hard2)
@@ -215,14 +247,12 @@ def dlsch_decode(llr, cfg: DlschConfig, n_iter: int = 5, early: int = 1,
 
             def compact():
                 # phase 3: survivors only, resumed, to the full n_iter
-                hard3, _ = turbo_decode(flat[idx], K, n_iter=n_iter - mid,
-                                        apr0=apr2[idx])
+                hard3, _ = dec_more(dec_take(st2, idx), n_iter - mid)
                 keep = ok2[idx][:, None]
                 return hard2.at[idx].set(jnp.where(keep, hard2[idx], hard3))
 
             def full():
-                return turbo_decode(flat, K, n_iter=n_iter - mid,
-                                    apr0=apr2)[0]
+                return dec_more(st2, n_iter - mid)[0]
 
             return jax.lax.cond(
                 nfail == 0, lambda: hard2,

@@ -1,29 +1,26 @@
-"""Chain decomposition by prefix differencing (RTT cancels in differences).
+"""Stage timing by differencing: run the bench decode with stages toggled,
+INNER-looped inside one jit so the host-tunnel RTT amortizes.
 
-Variants of the honest-bench step that stop after successive stages; the
-difference of adjacent timings is that stage's device cost per 384-sf
-dispatch.  Also times turbo n_iter=1 vs 5 the same way.
+Stages: fft_estimate -> pcfich -> pdcch -> pdsch.  Each variant includes all
+stages up to its name.  Differences between successive variants give per-
+stage device time per BATCH subframes.
 """
+
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
-
-import bench as bench_mod  # noqa: E402
-
-BATCH = bench_mod.BATCH
-
-
-def timed(f, args, reps=6):
-    r = np.asarray(f(*args))
-    t0 = time.perf_counter()
-    outs = [f(*args) for _ in range(reps)]
-    _ = [np.asarray(o) for o in outs]
-    return (time.perf_counter() - t0) / reps
+BATCH = int(os.environ.get("BENCH_BATCH", "384"))
+INNER = int(os.environ.get("BENCH_INNER", "8"))
+SNR_DB = 16.0
+CFI = 2
+RNTI = 0x46
 
 
 def main():
@@ -35,9 +32,8 @@ def main():
                                            ue_locations, rnti_mask)
     from srslte_tpu.phy.phch.pdsch import Pdsch
     from srslte_tpu.phy.ue.ue_dl import UeDl
-    from srslte_tpu.phy.fec.tdec import turbo_decode
 
-    sf_idx, CFI, RNTI = 4, 2, 0x46
+    sf_idx = 4
     cell = Cell(n_prb=100, id=1, nof_ports=1)
     dci = Dci1A(rb_start=0, l_crb=100, mcs=27)
     grant = dci.grant(100)
@@ -58,12 +54,10 @@ def main():
     groups = {L: tuple(g) for L, g in groups.items()}
     mask = jnp.asarray(rnti_mask(RNTI))
     tbs = grant.tbs
-    snr = jnp.float32(10 ** 1.6)
 
-    def front(key, upto):
-        kb, kn = jax.random.split(key)
+    def encode(key):
         nbytes = -(-tbs // 8)
-        words = jax.random.bits(kb, (BATCH, nbytes), jnp.uint8)
+        words = jax.random.bits(key, (BATCH, nbytes), jnp.uint8)
         bits = ((words[..., None] >> jnp.arange(8, dtype=jnp.uint8)) & 1)
         bits = bits.reshape(BATCH, nbytes * 8)[:, :tbs]
         g = enb.put_base(enb.empty_grids((BATCH,)), sf_idx)
@@ -71,54 +65,70 @@ def main():
         g = enb.put_pdcch(g, sf_idx, CFI, dci_bits, RNTI, tx_loc)
         g = enb.put_pdsch(g, pdsch, bits)
         s = enb.gen_signal(g)[..., 0, :]
-        if upto == "encode":
-            return jnp.sum(jnp.abs(s))
+        return jnp.stack([jnp.real(s), jnp.imag(s)], axis=-1)
+
+    def decode(key, s_ri, snr_lin, upto):
+        s = jax.lax.complex(s_ri[..., 0], s_ri[..., 1])
         p_sig = jnp.mean(jnp.abs(s) ** 2)
-        sigma = jnp.sqrt(p_sig / snr / 2.0)
-        nre_, nim = jax.random.normal(kn, (2,) + s.shape, jnp.float32) * sigma
-        rx = s + jax.lax.complex(nre_, nim)
+        sigma = jnp.sqrt(p_sig / snr_lin / 2.0)
+        nre, nim = jax.random.normal(key, (2,) + s.shape, jnp.float32) * sigma
+        rx = s + jax.lax.complex(nre, nim)
+        acc = jnp.float32(0)
+        if upto == "noise":
+            return acc + jnp.sum(jnp.abs(rx[:, :8]) ** 2)
         grid, ce, info = ue.fft_estimate(rx, sf_idx)
+        acc = acc + jnp.sum(jnp.abs(grid[:, 0, :8]) ** 2) + jnp.sum(info["noise"])
         if upto == "fft":
-            return jnp.sum(jnp.abs(grid)) + jnp.sum(jnp.abs(ce))
+            return acc
         cfi_dec, _ = Pcfich(cell, sf_idx).decode(grid, ce)
+        acc = acc + jnp.sum(cfi_dec.astype(jnp.float32))
+        if upto == "pcfich":
+            return acc
+
         def search_one(g1, ce1):
-            found = jnp.zeros((), jnp.bool_)
-            for L, group in groups.items():
-                ok, cand = pd._decode_candidates_traced(g1, ce1, group,
-                                                        dci_len, mask)
-                match = jnp.all(cand == dci_bits[None, :], axis=-1)
-                found = jnp.logical_or(found, jnp.any(ok & match))
-            return found
-        dci_ok = jnp.sum(jax.vmap(search_one)(grid, ce).astype(jnp.float32))
+            ok, cand = pd._decode_mixed_traced(
+                g1, ce1, tuple(groups.values()), dci_len, mask)
+            match = jnp.all(cand == dci_bits[None, :], axis=-1)
+            return jnp.any(ok & match)
+
+        acc = acc + jnp.sum(jax.vmap(search_one)(grid, ce).astype(jnp.float32))
         if upto == "pdcch":
-            return dci_ok + cfi_dec.sum().astype(jnp.float32)
-        if upto == "llr":
-            llr, ninfo = pdsch.demod_llr(grid, ce, info["noise"]) \
-                if hasattr(pdsch, "demod_llr") else (None, None)
-            return jnp.sum(llr)
+            return acc
         _, ok = pdsch.decode(grid, ce, info["noise"])
-        return ok.sum().astype(jnp.float32) + dci_ok
+        return acc + ok.sum().astype(jnp.float32)
+
+    def looped(upto):
+        def f(key, s_ri, snr_lin):
+            def body(i, a):
+                return a + decode(jax.random.fold_in(key, i), s_ri, snr_lin,
+                                  upto)
+            return jax.lax.fori_loop(0, INNER, body, jnp.float32(0))
+        return jax.jit(f)
 
     key = jax.random.PRNGKey(0)
-    stages = ["encode", "fft", "pdcch", "full"]
-    ts = {}
-    for st in stages:
-        f = jax.jit(lambda k, st=st: front(k, st))
-        ts[st] = timed(f, (key,))
-        print(f"upto {st}: {ts[st]*1e3:.1f} ms", flush=True)
-    print(f"encode+rng: {ts['encode']*1e3:.1f}", flush=True)
-    print(f"noise+fft+chest: {(ts['fft']-ts['encode'])*1e3:.1f}", flush=True)
-    print(f"pcfich+pdcch: {(ts['pdcch']-ts['fft'])*1e3:.1f}", flush=True)
-    print(f"pdsch decode: {(ts['full']-ts['pdcch'])*1e3:.1f}", flush=True)
+    s_ri = jax.block_until_ready(jax.jit(encode)(key))
+    snr = jnp.float32(10.0 ** (SNR_DB / 10.0))
 
-    # turbo iteration slope
-    llr = jax.random.normal(key, (4224, 3 * 5828), jnp.float32)
-    t1 = timed(jax.jit(lambda x: turbo_decode(x, 5824, n_iter=1)[1].sum()),
-               (llr,))
-    t5 = timed(jax.jit(lambda x: turbo_decode(x, 5824, n_iter=5)[1].sum()),
-               (llr,))
-    print(f"turbo n1: {t1*1e3:.1f} ms, n5: {t5*1e3:.1f} ms, "
-          f"per-iter: {(t5-t1)/4*1e3:.2f} ms", flush=True)
+    times = {}
+    for upto in ["noise", "fft", "pcfich", "pdcch", "pdsch"]:
+        fn = looped(upto)
+        jax.block_until_ready(fn(key, s_ri, snr))
+        reps = 3
+        t0 = time.perf_counter()
+        for r in range(reps):
+            jax.block_until_ready(fn(jax.random.fold_in(key, 100 + r), s_ri,
+                                     snr))
+        dt = (time.perf_counter() - t0) / reps
+        times[upto] = dt
+        print(f"upto {upto:8s}: {dt*1e3:9.2f} ms / {INNER}x{BATCH} sf")
+
+    prev = 0.0
+    print("\nstage deltas (per dispatch of %d sf):" % (INNER * BATCH))
+    for upto in ["noise", "fft", "pcfich", "pdcch", "pdsch"]:
+        print(f"  {upto:8s}: {(times[upto]-prev)*1e3:9.2f} ms")
+        prev = times[upto]
+    sf_len = cell.ofdm.sf_len
+    print(f"\nfull-chain Msps: {INNER*BATCH*sf_len/times['pdsch']/1e6:.1f}")
 
 
 if __name__ == "__main__":
