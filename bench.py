@@ -113,23 +113,13 @@ def build():
         cfi_dec, _ = Pcfich(cell, sf_idx).decode(grid, ce)
         cfi_ok = jnp.sum((cfi_dec == CFI).astype(jnp.float32))
 
-        mixed = os.environ.get("BENCH_MIXED_PDCCH", "1") != "0"
-
-        def search_one(g1, ce1):
-            if mixed:
-                ok, cand = pd._decode_mixed_traced(
-                    g1, ce1, tuple(groups.values()), dci_len, mask)
-                match = jnp.all(cand == dci_bits[None, :], axis=-1)
-                return jnp.any(ok & match)
-            found = jnp.zeros((), jnp.bool_)
-            for L, group in groups.items():
-                ok, cand = pd._decode_candidates_traced(g1, ce1, group,
-                                                        dci_len, mask)
-                match = jnp.all(cand == dci_bits[None, :], axis=-1)
-                found = jnp.logical_or(found, jnp.any(ok & match))
-            return found
-
-        dci_ok = jnp.sum(jax.vmap(search_one)(grid, ce).astype(jnp.float32))
+        # blind search over the full batch in one dispatch: all subframes'
+        # candidates share one Viterbi kernel launch (pdcch._llrs supports
+        # leading batch dims)
+        ok, cand = pd._decode_mixed_traced(
+            grid, ce, tuple(groups.values()), dci_len, mask)
+        match = jnp.all(cand == dci_bits[None, :], axis=-1)
+        dci_ok = jnp.sum(jnp.any(ok & match, axis=-1).astype(jnp.float32))
 
         _, ok = pdsch.decode(grid, ce, info["noise"])
         return (ok.sum().astype(jnp.float32), dci_ok, cfi_ok)

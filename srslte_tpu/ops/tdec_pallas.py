@@ -360,6 +360,10 @@ def siso_from_windows(sa_w, pr_w, b0, B: int, K: int, L: int = 128,
         out_shape=jax.ShapeDtypeStruct((L, NP, subs, LANE), dtype),
         scratch_shapes=[pltpu.VMEM((half, 8, subs, LANE), dtype),
                         pltpu.VMEM((L + T - half, 8, subs, LANE), dtype)],
+        # metric histories + double-buffered window blocks exceed the 16 MiB
+        # default scoped-vmem budget for L > 128; v5e has 128 MiB of VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=int(n_pad * LT * 160),
             bytes_accessed=int(n_pad * LT * 3 * np.dtype(dtype).itemsize),

@@ -113,11 +113,30 @@ def _pred4_tables():
     return pre.astype(np.int32), u_in, br6.astype(np.float32)
 
 
-def viterbi_decode(llr, length: int, tail_biting: bool = True):
+def _pallas_ok() -> bool:
+    import os
+
+    if os.environ.get("SRSLTE_TPU_FORCE_PALLAS", "0") == "1":
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def viterbi_decode(llr, length: int, tail_biting: bool = True,
+                   backend: str = "auto"):
     """Batched soft Viterbi: llr [B, 3L] (positive ⇒ bit 1) -> bits [B, L] uint8.
 
     Tail-biting wrap-around per viterbi.c: the sequence is processed TB_ITER
     times and the middle copy is returned.
+
+    backend "auto" uses the unrolled Pallas kernel on TPU for 2-D batches
+    (ops/viterbi_pallas.py — the XLA scan pays ~50 µs/step of while-loop
+    overhead, two orders of magnitude above the ALU cost of one ACS step);
+    elsewhere the radix-4 scan below.
 
     Radix-4: the ACS scan merges two trellis steps per iteration (4
     predecessors, 6 coded bits), halving the sequential depth of both the
@@ -126,6 +145,12 @@ def viterbi_decode(llr, length: int, tail_biting: bool = True):
     """
     import jax
     import jax.numpy as jnp
+
+    if llr.ndim == 2 and (backend == "pallas"
+                          or (backend == "auto" and _pallas_ok())):
+        from ...ops.viterbi_pallas import viterbi_decode_pallas
+
+        return viterbi_decode_pallas(llr, length, tail_biting)
 
     pred, u_in, br = _pred_tables()
     pre4, _, br6 = _pred4_tables()

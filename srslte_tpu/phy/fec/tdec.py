@@ -234,7 +234,14 @@ def _siso_windowed(sys_apr, par, tail_x, tail_z, L: int, T: int):
 
 
 def default_window(k: int) -> int | None:
-    """Window length (K need not divide it — the tail is masked); None = full scan."""
+    """Window length (K need not divide it — the tail is masked); None = full scan.
+
+    Larger windows amortize the 2T-step training halo over more useful
+    positions (work scales with 1 + 2T/L), at the price of per-program VMEM
+    for the metric histories; 256 fits v5e VMEM with the raised scoped limit
+    (ops/tdec_pallas.py) and is never worse for BLER than 128."""
+    if k >= 2048:
+        return 256
     return 128 if k >= 256 else None
 
 

@@ -135,23 +135,27 @@ class Pdcch:
 
     # -- UE side --------------------------------------------------------------
     def _llrs(self, grid, ce, locs: list):
-        """Gather+equalize+demod all candidates of equal L: [ncand, 72L]."""
+        """Gather+equalize+demod all candidates of equal L: [..., ncand, 72L].
+
+        grid [..., nsym, nre], ce [..., nports, nsym, nre] — leading batch
+        dims (e.g. subframes) are supported so the whole batch's candidates
+        feed ONE Viterbi kernel dispatch."""
         import jax.numpy as jnp
 
         L = locs[0].L
         o = self.cell.ofdm
         re = np.stack([self.re_idx[l.cce * 36 : (l.cce + L) * 36] for l in locs])
         idx = jnp.asarray(re)  # [ncand, 36L]
-        y = grid.reshape(-1)[idx]
-        cef = ce.reshape(ce.shape[:-2] + (o.nsymb_sf * o.nof_re,))
+        y = grid.reshape(grid.shape[:-2] + (-1,))[..., idx]
+        cef = ce.reshape(ce.shape[:-3] + (ce.shape[-3], o.nsymb_sf * o.nof_re))
         if self.cell.nof_ports == 1:
-            xhat = equalize_zf(y, cef[0][idx])
+            xhat = equalize_zf(y, cef[..., 0, idx])
         elif self.cell.nof_ports == 2:
-            xhat = alamouti_decode_2tx(y, cef[0][idx], cef[1][idx])
+            xhat = alamouti_decode_2tx(y, cef[..., 0, idx], cef[..., 1, idx])
         else:
-            h4 = jnp.stack([cef[p][idx] for p in range(4)], axis=-2)
+            h4 = jnp.stack([cef[..., p, idx] for p in range(4)], axis=-2)
             xhat, _ = alamouti_decode_4tx(y, h4)
-        llr = demod_soft(xhat, Modulation.QPSK)  # [ncand, 72L]
+        llr = demod_soft(xhat, Modulation.QPSK)  # [..., ncand, 72L]
         soff = np.stack([self._scramble_signed[l.cce * 72 : (l.cce + L) * 72]
                          for l in locs])
         return llr * jnp.asarray(soff)
@@ -179,9 +183,10 @@ class Pdcch:
         llr = self._llrs(grid, ce, locs)
         n_coded = 3 * (payload_len + 16)
         de_rm = rm_conv_rx(llr, n_coded)
-        bits = viterbi_decode(de_rm, payload_len + 16)
+        bits = viterbi_decode(de_rm.reshape(-1, n_coded), payload_len + 16)
+        bits = bits.reshape(de_rm.shape[:-1] + (payload_len + 16,))
         ok = crc_ok_device(bits, *LTE_CRC16, rnti_mask=rnti_mask_arr)
-        return ok, bits[:, :payload_len]
+        return ok, bits[..., :payload_len]
 
     @lazy_jit(static_argnums=(0, 3, 4))
     def _decode_mixed_traced(self, grid, ce, locs_by_L: tuple,
@@ -199,10 +204,11 @@ class Pdcch:
         n_coded = 3 * (payload_len + 16)
         derms = [rm_conv_rx(self._llrs(grid, ce, list(group)), n_coded)
                  for group in locs_by_L if group]
-        de_rm = jnp.concatenate(derms, axis=0)
-        bits = viterbi_decode(de_rm, payload_len + 16)
+        de_rm = jnp.concatenate(derms, axis=-2)
+        bits = viterbi_decode(de_rm.reshape(-1, n_coded), payload_len + 16)
+        bits = bits.reshape(de_rm.shape[:-1] + (payload_len + 16,))
         ok = crc_ok_device(bits, *LTE_CRC16, rnti_mask=rnti_mask_arr)
-        return ok, bits[:, :payload_len]
+        return ok, bits[..., :payload_len]
 
     def all_locations(self, Ls=(4, 8)) -> tuple:
         """Every aligned candidate at the given aggregation levels."""
