@@ -9,8 +9,10 @@ The C_srs/B_srs bandwidth-configuration tables (36.211 tables 5.5.3.2-1..4,
 refsignal_ul.c m_srs_b/Nb, shipped as srs_bw.npz via
 tools/extract_srs_tables.py) derive m_srs and the frequency position k0
 from (bw_cfg, B, n_rrc) — srs_bandwidth()/srs_k0_prb() below mirror
-srsran_refsignal_srs_M_sc / srs_k0_ue for the non-frequency-hopped case
-(b_hop >= B); hopping in time (Fb) is not yet implemented.
+srsran_refsignal_srs_M_sc / srs_k0_ue.  Frequency hopping over time follows
+36.211 §5.5.3.2: for tree levels b > b_hop the position index n_b gets the
+Fb(n_SRS) offset (refsignal_ul.c srs_Fb :781, srs_k0_ue :804) with the
+SRS period T_SRS from 36.213 table 8.2-1 (T_srs_table :559).
 """
 
 from __future__ import annotations
@@ -50,27 +52,85 @@ def srs_bandwidth(n_prb: int, b_srs: int, bw_cfg: int) -> int:
     return int(_bw_tables()[0][_bw_row(n_prb)][b_srs][bw_cfg])
 
 
-def srs_k0_prb(n_prb: int, b_srs: int, bw_cfg: int, n_rrc: int) -> int:
-    """UE SRS starting PRB (srs_k0_ue, non-hopped: nb = 4 n_rrc/m_srs % Nb).
+def t_srs(i_srs: int) -> int:
+    """SRS periodicity T_SRS in ms from I_SRS (36.213 table 8.2-1)."""
+    for bound, t in ((2, 2), (7, 5), (17, 10), (37, 20), (77, 40),
+                     (157, 80), (317, 160), (637, 320)):
+        if i_srs < bound:
+            return t
+    return 0
+
+
+def srs_toffset(i_srs: int) -> int:
+    """SRS subframe offset from I_SRS (36.213 table 8.2-1)."""
+    for bound in (2, 7, 17, 37, 77, 157, 317, 637):
+        if i_srs < bound:
+            return i_srs - {2: 0, 7: 2, 17: 7, 37: 17, 77: 37, 157: 77,
+                            317: 157, 637: 317}[bound]
+    return 0
+
+
+def srs_send_tti(i_srs: int, tti: int) -> bool:
+    """Whether this UE sounds in this tti (srsran_refsignal_srs_send_ue)."""
+    t = t_srs(i_srs)
+    return t > 0 and (tti - srs_toffset(i_srs)) % t == 0
+
+
+def srs_fb(n_prb: int, b: int, bw_cfg: int, b_hop: int, i_srs: int,
+           tti: int) -> int:
+    """Frequency-hopping offset Fb for tree level b (36.211 §5.5.3.2,
+    refsignal_ul.c srs_Fb)."""
+    t = t_srs(i_srs)
+    if t == 0:
+        return 0
+    n_srs = tti // t
+    _, nb_tab = _bw_tables()
+    row = _bw_row(n_prb)
+    n_b = int(nb_tab[row][b][bw_cfg])
+    prod_1 = 1
+    for bp in range(b_hop + 1, b):
+        prod_1 *= int(nb_tab[row][bp][bw_cfg])
+    prod_2 = prod_1 * n_b
+    if n_b % 2 == 0:
+        return (n_b // 2) * ((n_srs % prod_2) // prod_1) \
+            + (n_srs % prod_2) // prod_1 // 2
+    return (n_b // 2) * (n_srs // prod_1)
+
+
+def srs_k0_prb(n_prb: int, b_srs: int, bw_cfg: int, n_rrc: int,
+               b_hop: int = 4, i_srs: int = 0, tti: int = 0) -> int:
+    """UE SRS starting PRB (srs_k0_ue).
 
     The cell-specific region is centered in the band
-    (srsran_refsignal_srs_rb_start_cs).
+    (srsran_refsignal_srs_rb_start_cs).  Tree levels b <= b_hop take the
+    static RRC position nb = 4 n_rrc/m_srs % Nb; levels above it hop over
+    time with the Fb(n_SRS) offset.  The default b_hop=4 disables hopping
+    (b_hop >= B_srs).
     """
     m_tab, nb_tab = _bw_tables()
     row = _bw_row(n_prb)
     k0 = n_prb // 2 - m_tab[row][0][bw_cfg] // 2
     for b in range(b_srs + 1):
         m_b = int(m_tab[row][b][bw_cfg])
-        nb = (4 * n_rrc // m_b) % int(nb_tab[row][b][bw_cfg])
-        k0 += m_b * nb
+        nb = 4 * n_rrc // m_b
+        if b > b_hop:
+            nb += srs_fb(n_prb, b, bw_cfg, b_hop, i_srs, tti)
+        k0 += m_b * (nb % int(nb_tab[row][b][bw_cfg]))
     return k0
 
 
 def srs_config_from_bw(n_prb: int, bw_cfg: int, b_srs: int, n_rrc: int,
-                       comb: int = 0, n_srs_cs: int = 0) -> "SrsConfig":
-    """Build an SrsConfig from the 36.211 bandwidth-configuration plane."""
+                       comb: int = 0, n_srs_cs: int = 0, b_hop: int = 4,
+                       i_srs: int = 0, tti: int = 0) -> "SrsConfig":
+    """Build an SrsConfig from the 36.211 bandwidth-configuration plane.
+
+    With b_hop < b_srs the position follows the Fb frequency-hopping
+    pattern for this tti (one static config per hop position — the caller
+    keys its Srs cache on k0_prb like the reference pregenerates per-sf
+    waveforms, refsignal_ul.c srsran_refsignal_srs_pregen)."""
     return SrsConfig(m_srs=srs_bandwidth(n_prb, b_srs, bw_cfg),
-                     k0_prb=srs_k0_prb(n_prb, b_srs, bw_cfg, n_rrc),
+                     k0_prb=srs_k0_prb(n_prb, b_srs, bw_cfg, n_rrc,
+                                       b_hop=b_hop, i_srs=i_srs, tti=tti),
                      comb=comb, n_srs_cs=n_srs_cs)
 
 

@@ -163,3 +163,71 @@ def test_hst_doppler_trajectory():
     y = np.asarray(apply_hst(x, 1_920_000, 750.0))
     assert np.allclose(np.abs(y), 1.0, atol=1e-5)
     assert not np.allclose(y, 1.0)  # actually rotating
+
+
+def _resample_arb_oracle(x, rate, interpolate=False):
+    """Pure-numpy port of the reference streaming loop (resample_arb.c
+    srsran_resample_arb_compute) as the exactness oracle."""
+    from srslte_tpu.phy.resampling.resampler import ARB_M, ARB_N, _arb_polyfilt
+
+    bank = _arb_polyfilt()
+    step = ARB_N / rate
+    acc, idx, cnt = 0.0, 0, 0
+    frac = 0.0
+    out = []
+    n_in = len(x)
+    xp = np.concatenate([np.zeros(ARB_M, x.dtype), x])
+    while cnt < n_in:
+        w = xp[cnt : cnt + ARB_M]
+        r1 = np.dot(w, bank[idx])
+        if interpolate:
+            r2 = np.dot(w, bank[(idx + 1) % ARB_N])
+            out.append(r1 + (r2 - r1) * frac)
+        else:
+            out.append(r1)
+        acc += step
+        idx = int(acc)
+        while idx >= ARB_N:
+            acc -= ARB_N
+            idx -= ARB_N
+            cnt += 1
+        frac = abs(acc - idx)
+    return np.asarray(out, x.dtype)
+
+
+@pytest.mark.parametrize("rate,interp", [(0.7, False), (1.25, True),
+                                         (23.04 / 30.72, True)])
+def test_resample_arb_matches_reference_loop(rate, interp):
+    from srslte_tpu.phy.resampling import resample_arb
+
+    rng = np.random.default_rng(3)
+    n = 400
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    got = np.asarray(resample_arb(jnp.asarray(x), rate, interpolate=interp))
+    want = _resample_arb_oracle(x, rate, interp)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_resample_arb_tone_fidelity():
+    """A bandlimited tone survives an irrational-ish ratio with low EVM."""
+    from srslte_tpu.phy.resampling import resample_arb
+
+    rate = 0.876543
+    n = 4096
+    f = 0.02  # cycles/sample, well inside the filter passband
+    t = np.arange(n)
+    x = np.exp(2j * np.pi * f * t).astype(np.complex64)
+    y = np.asarray(resample_arb(jnp.asarray(x), rate, interpolate=True))
+    # expected tone at f/rate cycles/output-sample; skip filter edges
+    m = len(y)
+    ty = np.arange(m)
+    ref = np.exp(2j * np.pi * (f / rate) * ty)
+    core_y, core_r = y[ARB_GUARD:-ARB_GUARD], ref[ARB_GUARD:-ARB_GUARD]
+    # align constant phase/delay via single complex gain
+    g = np.vdot(core_r, core_y) / np.vdot(core_r, core_r)
+    evm = np.linalg.norm(core_y - g * core_r) / np.linalg.norm(core_y)
+    assert evm < 0.02, evm
+
+
+ARB_GUARD = 32

@@ -192,6 +192,55 @@ def test_srs_bandwidth_tables():
     assert srs_k0_prb(50, 2, 1, 0) != srs_k0_prb(50, 2, 1, 2)
 
 
+def test_srs_frequency_hopping():
+    """36.211 §5.5.3.2 Fb hopping (refsignal_ul.c srs_Fb / srs_k0_ue)."""
+    from srslte_tpu.phy.phch.srs import (srs_bandwidth, srs_fb, srs_k0_prb,
+                                         srs_send_tti, srs_toffset, t_srs)
+
+    # 36.213 table 8.2-1 periodicity/offset
+    assert [t_srs(i) for i in (0, 2, 7, 17, 37, 77, 157, 317)] == \
+        [2, 5, 10, 20, 40, 80, 160, 320]
+    assert srs_toffset(5) == 3 and srs_toffset(20) == 3
+    assert srs_send_tti(7, 0) and srs_send_tti(7, 10)  # I=7: T=10, off=0
+    assert srs_send_tti(8, 1) and not srs_send_tti(8, 10)  # I=8: off=1
+    assert not srs_send_tti(7, 8)
+
+    # oracle: the reference's srs_k0_ue loop (refsignal_ul.c:804-824)
+    from srslte_tpu.phy.phch.srs import _bw_row, _bw_tables
+
+    def k0_ref(n_prb, B, bw_cfg, n_rrc, b_hop, i_srs, tti):
+        m_tab, nb_tab = _bw_tables()
+        row = _bw_row(n_prb)
+        k0 = (n_prb // 2 - m_tab[row][0][bw_cfg] // 2) * 12
+        for b in range(B + 1):
+            m_srs = int(m_tab[row][b][bw_cfg])
+            m_sc = m_srs * 12 // 2
+            if b <= b_hop:
+                nb = (4 * n_rrc // m_srs) % int(nb_tab[row][b][bw_cfg])
+            else:
+                fb = srs_fb(n_prb, b, bw_cfg, b_hop, i_srs, tti)
+                nb = (4 * n_rrc // m_srs + fb) % int(nb_tab[row][b][bw_cfg])
+            k0 += 2 * m_sc * nb
+        return k0 // 12
+
+    n_prb, B, bw_cfg, b_hop, i_srs = 50, 2, 1, 0, 7  # T=10ms
+    t = t_srs(i_srs)
+    seen = set()
+    for n in range(8):
+        tti = n * t + srs_toffset(i_srs)
+        k0 = srs_k0_prb(n_prb, B, bw_cfg, 1, b_hop=b_hop, i_srs=i_srs,
+                        tti=tti)
+        assert k0 == k0_ref(n_prb, B, bw_cfg, 1, b_hop, i_srs, tti)
+        m = srs_bandwidth(n_prb, B, bw_cfg)
+        assert 0 <= k0 and k0 + m <= n_prb
+        seen.add(k0)
+    assert len(seen) > 1  # the position actually hops
+    # b_hop >= B disables hopping: static across time
+    k0s = {srs_k0_prb(n_prb, B, bw_cfg, 1, b_hop=4, i_srs=i_srs, tti=tt)
+           for tt in range(0, 80, t)}
+    assert len(k0s) == 1
+
+
 def test_srs_config_from_bw_roundtrip():
     """Table-derived config feeds the existing SRS gen/estimate chain."""
     from srslte_tpu.phy.phch.srs import Srs, srs_config_from_bw
