@@ -118,10 +118,18 @@ class _Cc:
 
 class EnbApp:
     def __init__(self, cells, mme=None, mcs_dl: int = 5,
-                 neighbor_meas: bool = False, s1=None, events=None):
+                 neighbor_meas: bool = False, s1=None, events=None,
+                 tdd=None):
+        from .phy.common.tdd import TddConfig
         from .utils.events import EventLog
 
         cells = [cells] if isinstance(cells, Cell) else list(cells)
+        # TDD frame structure: one UL/DL configuration for all cells; DL
+        # subframes carry the full schedule, special subframes control +
+        # UL grants only, UL subframes carry no DL signal at all
+        if tdd is None and cells[0].frame_type == "tdd":
+            tdd = TddConfig(sf_config=1, ss_config=4)
+        self.tdd: TddConfig | None = tdd
         self.events = events if events is not None else EventLog()
         self.ccs: dict[int, _Cc] = {}
         for i, c in enumerate(cells):
@@ -154,6 +162,27 @@ class EnbApp:
     def _cc_of(self, pci: int | None) -> _Cc:
         return self.ccs[self.cell.id if pci is None else pci]
 
+    # -- TDD helpers --------------------------------------------------------
+    def _sf_type(self, tti: int):
+        from .phy.common.tdd import SfType
+
+        if self.tdd is None:
+            return SfType.DL
+        return self.tdd.sf_type(tti % 10)
+
+    def _prach_sf(self) -> int:
+        """PRACH opportunity subframe (FDD convention: 1; TDD: the first
+        UL subframe, sf1 being the special subframe)."""
+        return 1 if self.tdd is None else self.tdd.ul_subframes()[0]
+
+    def _sr_opportunity(self, tti: int) -> bool:
+        if self.tdd is None:
+            return tti % 5 == SR_SF
+        return tti % 10 in self.tdd.sr_subframes()
+
+    def _next_ul(self, tti: int) -> int:
+        return tti if self.tdd is None else self.tdd.next_ul(tti)
+
     # ---------------- DL ----------------------------------------------------
     def _dl_buffer_bytes(self, ue: EnbUe) -> int:
         """Pending DL bytes for the scheduler (RLC buffer state + CEs)."""
@@ -166,8 +195,16 @@ class EnbApp:
     def tx_subframe(self, tti: int, pci: int | None = None):
         import jax.numpy as jnp
 
+        from .phy.common.tdd import SfType
+
         cc = self._cc_of(pci)
         sf = tti % 10
+        sft = self._sf_type(tti)
+        if sf == 9:
+            cc.sfn = (cc.sfn + 1) % 1024
+        if sft is SfType.UL:
+            return None  # uplink subframe: the eNB transmits nothing
+        special = sft is SfType.SPECIAL
         g = cc.enb_dl.put_base(cc.enb_dl.empty_grids(), sf)
         if sf == 0:
             g = cc.enb_dl.put_pbch(g, Mib(cc.cell.n_prb, "norm", "1",
@@ -190,16 +227,21 @@ class EnbApp:
             g = cc.enb_dl.put_pdsch(g, pdsch, jnp.asarray(bits))
 
         # -- broadcast requests for this TTI (bc_sched/ra_sched analog) ------
+        # special subframes (TDD DwPTS) carry sync/control + UL grants only
         bc_requests = []
         bc_payloads = {}
-        if cc.pending_rar is not None:
+        if special:
+            bc_allocs, dl_allocs = [], []
+        if not special and cc.pending_rar is not None:
             bc_requests.append((RA_RNTI, len(cc.pending_rar), 0))
             bc_payloads[RA_RNTI] = cc.pending_rar
-        if tti % 40 == 5:  # SIB1 broadcast window
+        page_sf = 9 if self.tdd is None else 5  # TDD: sf9 can be uplink
+        if not special and tti % 40 == 5:  # SIB1 broadcast window
             sib = rrc_pack(Sib1())
             bc_requests.append((SI_RNTI, len(sib), 0))
             bc_payloads[SI_RNTI] = sib
-        if self._pending_pages and tti % 10 == 9:  # paging occasion
+        if (not special and self._pending_pages
+                and tti % 10 == page_sf):  # paging occasion
             pcch = rrc_pack(Paging(records=tuple(self._pending_pages)))
             bc_requests.append((P_RNTI, len(pcch), 0))
             bc_payloads[P_RNTI] = pcch
@@ -220,8 +262,9 @@ class EnbApp:
                 n += 7
             cc.sched_dl.buffer_state(crnti, n + (4 if n else 0))
 
-        bc_allocs, dl_allocs = cc.sched_dl.schedule_sf(tti, bc_requests)
-        cc.sched_dl.check_invariants(dl_allocs)
+        if not special:
+            bc_allocs, dl_allocs = cc.sched_dl.schedule_sf(tti, bc_requests)
+            cc.sched_dl.check_invariants(dl_allocs)
 
         for a in bc_allocs:
             put_dlsch(a.rnti, a.grant, a.loc,
@@ -229,9 +272,10 @@ class EnbApp:
                       bc_payloads[a.rnti])
             if a.rnti == RA_RNTI:
                 # msg3 PUSCH 4 TTIs out for the RAR's C-RNTI (grant carried
-                # in the RAR payload)
+                # in the RAR payload; TDD: first UL subframe from there)
                 crnti = cc.rach.last_rar_crnti
-                cc.ul_expect.setdefault(tti + 4, []).append(
+                t3 = self._next_ul(tti + 4)
+                cc.ul_expect.setdefault(t3, []).append(
                     (crnti, MSG3_GRANT, True))
                 cc.pending_rar = None
 
@@ -268,19 +312,29 @@ class EnbApp:
                       pack_format1(a.dci, cc.cell.n_prb), pdu)
 
         # -- UL grants: BSR/SR-driven through SchedUl ------------------------
-        used_cce = np.zeros(Pdcch(cc.cell, CFI, sf).n_cce, bool)
-        for a in bc_allocs + dl_allocs:
-            used_cce[a.loc.cce : a.loc.cce + a.loc.L] = True
-        for a in cc.sched_ul.schedule(tti, used_cce=used_cce):
-            dci0 = Dci0(rb_start=a.prb_start, l_crb=a.n_prb, mcs_rv=a.mcs)
-            g = cc.enb_dl.put_pdcch(g, sf, CFI,
-                                    pack_format0(dci0, cc.cell.n_prb),
-                                    a.rnti, a.loc)
-            cc.ul_expect.setdefault(tti + 4, []).append(
-                (a.rnti, UlGrant(a.prb_start, a.n_prb, a.mcs), False))
+        # TDD: a DCI0 in this subframe schedules PUSCH k_pusch TTIs out
+        # (36.213 table 8-2); subframes with k=0 carry no UL grants
+        k_ul = 4 if self.tdd is None else self.tdd.k_pusch(sf)
+        if k_ul:
+            used_cce = np.zeros(Pdcch(cc.cell, CFI, sf).n_cce, bool)
+            for a in bc_allocs + dl_allocs:
+                used_cce[a.loc.cce : a.loc.cce + a.loc.L] = True
+            for a in cc.sched_ul.schedule(tti, used_cce=used_cce):
+                dci0 = Dci0(rb_start=a.prb_start, l_crb=a.n_prb,
+                            mcs_rv=a.mcs)
+                g = cc.enb_dl.put_pdcch(g, sf, CFI,
+                                        pack_format0(dci0, cc.cell.n_prb),
+                                        a.rnti, a.loc)
+                cc.ul_expect.setdefault(tti + k_ul, []).append(
+                    (a.rnti, UlGrant(a.prb_start, a.n_prb, a.mcs), False))
 
-        if sf == 9:
-            cc.sfn = (cc.sfn + 1) % 1024
+        if special:
+            # silence the GP + UpPTS symbols: the eNB transmits only the
+            # DwPTS portion of a special subframe (36.211 table 4.2-1)
+            nsym = cc.cell.ofdm.nsymb_sf
+            mask = jnp.asarray((np.arange(nsym) < self.tdd.nof_dw)
+                               .astype(np.float32))[:, None]
+            g = g * mask
         return cc.enb_dl.gen_signal(g)[..., 0, :]
 
     # ---------------- UL ----------------------------------------------------
@@ -293,7 +347,7 @@ class EnbApp:
                 self._tick()
             return
         expected = cc.ul_expect.pop(tti, [])
-        if tti % 10 == 1 and not expected:
+        if tti % 10 == self._prach_sf() and not expected:
             det, metric, toff = prach_detect(cc.prach_cfg, samples)
             det = np.asarray(det)
             if det.any():
@@ -313,7 +367,7 @@ class EnbApp:
                 self._handle_msg3(cc, crnti, raw)
             else:
                 self._handle_ul_mac(cc, crnti, raw)
-        if tti % 5 == SR_SF:
+        if self._sr_opportunity(tti):
             # scheduling requests: PUCCH format 1 per connected UE (skip UEs
             # that transmitted PUSCH in this same subframe)
             served = {c for c, _, _ in expected}

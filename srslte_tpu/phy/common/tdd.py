@@ -50,6 +50,32 @@ SPECIAL_SF_SYMBOLS = (
 # phy_common.c tdd_nof_harq)
 NOF_HARQ = (7, 4, 2, 3, 2, 1, 6)
 
+# 36.213 table 8-2: UL grant delay k per (sf_config, DL/S subframe) — a DCI0
+# in subframe n schedules PUSCH in n+k; 0 = this subframe carries no UL
+# grants (srsue phy_common.cc k_pusch)
+K_PUSCH = (
+    (4, 6, 0, 0, 0, 4, 6, 0, 0, 0),
+    (0, 6, 0, 0, 4, 0, 6, 0, 0, 4),
+    (0, 0, 0, 4, 0, 0, 0, 0, 4, 0),
+    (4, 0, 0, 0, 0, 0, 0, 0, 4, 4),
+    (0, 0, 0, 0, 0, 0, 0, 0, 4, 4),
+    (0, 0, 0, 0, 0, 0, 0, 0, 4, 0),
+    (7, 7, 0, 0, 0, 7, 7, 0, 0, 5),
+)
+
+# 36.213 table 9.1.2-1: PHICH delay k per (sf_config, UL subframe) — the
+# PHICH for a PUSCH in subframe n arrives in n+k (srsue phy_common.cc
+# k_phich)
+K_PHICH = (
+    (0, 0, 4, 7, 6, 0, 0, 4, 7, 6),
+    (0, 0, 4, 6, 0, 0, 0, 4, 6, 0),
+    (0, 0, 6, 0, 0, 0, 0, 6, 0, 0),
+    (0, 0, 6, 6, 6, 0, 0, 0, 0, 0),
+    (0, 0, 6, 6, 0, 0, 0, 0, 0, 0),
+    (0, 0, 6, 0, 0, 0, 0, 0, 0, 0),
+    (0, 0, 4, 6, 6, 0, 0, 4, 7, 0),
+)
+
 
 @dataclass(frozen=True)
 class TddConfig:
@@ -103,3 +129,26 @@ class TddConfig:
 
     def ul_subframes(self) -> tuple[int, ...]:
         return tuple(i for i in range(10) if self.sf_type(i) is SfType.UL)
+
+    def k_pusch(self, sf_idx: int) -> int:
+        """UL grant delay for a DCI0 in this subframe (0 = none here)."""
+        return K_PUSCH[self.sf_config][sf_idx % 10]
+
+    def k_phich(self, sf_idx: int) -> int:
+        """PHICH delay for a PUSCH in this subframe (0 = n/a)."""
+        return K_PHICH[self.sf_config][sf_idx % 10]
+
+    def next_ul(self, tti: int) -> int:
+        """First UL subframe at or after tti (RAR-grant/msg3 timing)."""
+        for d in range(10):
+            if self.sf_type((tti + d) % 10) is SfType.UL:
+                return tti + d
+        raise ValueError("configuration has no UL subframes")
+
+    def sr_subframes(self) -> tuple[int, ...]:
+        """SR opportunity subframes: UL subframes on the apps' period-5
+        comb where possible (the FDD convention tti%5==3), else every UL
+        subframe (configs whose UL subframes all miss the comb)."""
+        ul = self.ul_subframes()
+        combed = tuple(i for i in ul if i % 5 == 3)
+        return combed or ul

@@ -38,15 +38,30 @@ class EnbDl:
                          jnp.complex64)
 
     def put_pss_sss(self, grids, sf_idx: int):
-        """PSS (slot-0 last symbol) + SSS (one before) in subframes 0 and 5.
+        """PSS + SSS per the cell's frame structure (36.211 §6.11).
 
-        36.211 §6.11: center 62 subcarriers around DC, port 0 (enb_dl.c:344
+        FDD (type 1): PSS in the last symbol of slot 0, SSS one symbol
+        earlier, subframes 0 and 5.  TDD (type 2): SSS in the LAST symbol
+        of subframes 0 and 5, PSS in the THIRD symbol of subframes 1 and 6
+        (the DwPTS).  Center 62 subcarriers around DC, port 0 (enb_dl.c:344
         put_base places them once, not per port).
         """
-        if sf_idx % 5 != 0:
-            return grids
         o = self.cell.ofdm
         mid = o.nof_re // 2
+        tdd = self.cell.frame_type == "tdd"
+        if tdd:
+            if sf_idx % 5 == 0:
+                sss = jnp.asarray(sss_sequence(
+                    self.cell.n_id_1, self.cell.n_id_2,
+                    sf5=(sf_idx == 5)).astype("complex64"))
+                grids = grids.at[..., 0, o.nsymb_sf - 1,
+                                 mid - 31 : mid + 31].set(sss)
+            elif sf_idx % 5 == 1:
+                pss = jnp.asarray(pss_sequence(self.cell.n_id_2))
+                grids = grids.at[..., 0, 2, mid - 31 : mid + 31].set(pss)
+            return grids
+        if sf_idx % 5 != 0:
+            return grids
         pss = jnp.asarray(pss_sequence(self.cell.n_id_2))
         sss = jnp.asarray(sss_sequence(self.cell.n_id_1, self.cell.n_id_2,
                                        sf5=(sf_idx == 5)).astype("complex64"))

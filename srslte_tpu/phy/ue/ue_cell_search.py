@@ -32,10 +32,12 @@ class CellSearchResult(NamedTuple):
     peak_offset: object  # int32: PSS symbol start within the stream
     votes: object  # int32: windows agreeing on cell_id
     metric: object  # float32: mean PSS metric of agreeing windows
+    tdd: object = False  # bool: frame structure type 2 (majority vote)
 
 
-@lazy_jit(static_argnums=(1,))
-def cell_search(samples, params: OfdmParams | None = None) -> CellSearchResult:
+@lazy_jit(static_argnums=(1, 2))
+def cell_search(samples, params: OfdmParams | None = None,
+                frame_type: str = "fdd") -> CellSearchResult:
     """Search a 1-D sample stream [L] for the strongest cell.
 
     The stream is cut into floor(L/half_frame)-1 overlapping windows of
@@ -54,7 +56,7 @@ def cell_search(samples, params: OfdmParams | None = None) -> CellSearchResult:
     idx = (np.arange(n_win)[:, None] * half + np.arange(half + margin)[None, :])
     wins = samples[..., idx]  # [n_win, half+margin]
 
-    r: SyncResult = sync_find(wins, p)
+    r: SyncResult = sync_find(wins, p, frame_type)
 
     valid = r.n_id_1 >= 0
     cid = jnp.where(valid, r.cell_id, 504)
@@ -71,9 +73,10 @@ def cell_search(samples, params: OfdmParams | None = None) -> CellSearchResult:
     k = jnp.argmax(score)
     offset = jnp.asarray(idx[:, 0])[k] + r.peak_offset[k]
     found = votes > 0
+    tdd = jnp.sum(jnp.where(agree, r.tdd, False)) * 2 > votes
     return CellSearchResult(
         cell_id=jnp.where(found, best, -1),
         n_id_1=jnp.where(found, best // 3, -1),
         n_id_2=jnp.where(found, best % 3, -1),
         cfo=cfo, peak_offset=offset.astype(jnp.int32),
-        votes=votes, metric=metric)
+        votes=votes, metric=metric, tdd=tdd)

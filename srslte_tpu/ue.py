@@ -75,9 +75,16 @@ class UlTx:
 
 class UeApp:
     def __init__(self, cell: Cell, nas: UeNas, neighbor_pcis: tuple = (),
-                 rlm_cfg: RlmConfig | None = None):
+                 rlm_cfg: RlmConfig | None = None, tdd=None):
+        from .phy.common.tdd import TddConfig
+
         self.cell = cell
         self.nas = nas
+        # TDD frame structure (cc_worker set_tdd_config analog): per-tti
+        # direction, PRACH on the first UL subframe, table-8-2 grant delays
+        if tdd is None and cell.frame_type == "tdd":
+            tdd = TddConfig(sf_config=1, ss_config=4)
+        self.tdd: TddConfig | None = tdd
         self.ue_dl = UeDl(cell)
         self.ue_ul = UeUl(cell)
         self.prach_cfg = PrachConfig(cell.ofdm, zero_corr_cfg=7)
@@ -164,9 +171,30 @@ class UeApp:
         self._muted_pcis = frozenset()
         self._crs_mute = None  # re-derived from fresh measurements
 
+    # ---------------- TDD helpers ---------------------------------------
+    def _ul_sf(self, tti: int) -> bool:
+        from .phy.common.tdd import SfType
+
+        return (self.tdd is not None
+                and self.tdd.sf_type(tti % 10) is SfType.UL)
+
+    def _next_ul(self, tti: int) -> int:
+        return tti if self.tdd is None else self.tdd.next_ul(tti)
+
+    def _sr_opportunity(self, tti: int) -> bool:
+        if self.tdd is None:
+            return tti % 5 == SR_SF
+        return tti % 10 in self.tdd.sr_subframes()
+
     # ---------------- DL ----------------------------------------------------
     def rx_subframe(self, samples, tti: int):
         sf = tti % 10
+        if self._ul_sf(tti):
+            # uplink subframe: no DL signal to process, timers still run
+            self.ra.tick()
+            self.srb1.tick()
+            self.drb1.tick()
+            return
         if self.state == "mib" and sf == 0:
             ok, mib, phase, ports = UeMib(self.cell.id, self.cell.n_prb
                                           ).decode(samples)
@@ -262,9 +290,11 @@ class UeApp:
                 elif dci1a is None and not got_ul:
                     dci0 = unpack_format0(payload, self.cell.n_prb)
                     if dci0 is not None:
-                        self._queue_ul(tti + 4, UlGrant(dci0.rb_start,
-                                                        dci0.l_crb,
-                                                        dci0.mcs_rv))
+                        k = 4 if self.tdd is None else self.tdd.k_pusch(sf)
+                        if k:
+                            self._queue_ul(tti + k,
+                                           UlGrant(dci0.rb_start,
+                                                   dci0.l_crb, dci0.mcs_rv))
                         got_ul = True
                 if got_dl and got_ul:
                     break
@@ -285,14 +315,17 @@ class UeApp:
         self.srb1.tick()
         self.drb1.tick()
         if self.state == "rach_wait" and sf == 0:
-            # schedule PRACH for the next tti % 10 == 1
+            # schedule PRACH for the next PRACH opportunity (FDD: tti%10==1;
+            # TDD: the first UL subframe of the frame)
             p = self.ra.start(np.random.default_rng(self.cell.id + tti))
-            self.pending_ul[tti + 1] = UlTx(tti + 1, "prach", preamble=p)
+            tp = self._next_ul(tti + 1)
+            self.pending_ul[tp] = UlTx(tp, "prach", preamble=p)
             self.state = "rach_sent"
         elif self.state == "ho_rach" and sf == 0:
             # contention-free RACH on the target cell (36.321 5.1.2)
             p = self.ra.start_dedicated(self._ded_preamble)
-            self.pending_ul[tti + 1] = UlTx(tti + 1, "prach", preamble=p)
+            tp = self._next_ul(tti + 1)
+            self.pending_ul[tp] = UlTx(tp, "prach", preamble=p)
             self.state = "ho_rach_sent"
 
     # ---------------- UL ----------------------------------------------------
@@ -300,10 +333,13 @@ class UeApp:
         """Returns UL samples for this TTI or None."""
         import jax.numpy as jnp
 
+        if self.tdd is not None and not self._ul_sf(tti):
+            return None
         tx = self.pending_ul.pop(tti, None)
         if tx is None:
             # SR: connected, data waiting, but no grant anywhere in flight
-            if (tti % 5 == SR_SF and self.crnti and not self.pending_ul
+            if (self._sr_opportunity(tti) and self.crnti
+                    and not self.pending_ul
                     and self.state == "connected"
                     and (self.srb1.get_buffer_state() > 0
                          or self.drb1.get_buffer_state() > 0)):
@@ -380,8 +416,8 @@ class UeApp:
                     self._ho_fallback = None
                     self.state = "connected"
                     self.ho_count += 1
-                    self.pending_ul[tti + 4] = UlTx(tti + 4, "pusch",
-                                                    MSG3_GRANT)
+                    t3 = self._next_ul(tti + 4)
+                    self.pending_ul[t3] = UlTx(t3, "pusch", MSG3_GRANT)
                 return
             if self._ra_mode == "reest":
                 self._ccch_sdu = self._reest_req
@@ -394,8 +430,10 @@ class UeApp:
             if msg3 is not None:
                 self.crnti = self.ra.temp_crnti
                 # msg3 goes on the RAR-granted PUSCH 4 TTIs after the RAR
-                self.pending_ul[tti + 4] = UlTx(tti + 4, "pusch", MSG3_GRANT,
-                                                payload=msg3.pack())
+                # (TDD: the first UL subframe from there)
+                t3 = self._next_ul(tti + 4)
+                self.pending_ul[t3] = UlTx(t3, "pusch", MSG3_GRANT,
+                                           payload=msg3.pack())
             return
         # C-RNTI MAC PDU
         pdu = MacPdu.parse(raw)

@@ -176,3 +176,58 @@ def test_crash_handler(tmp_path):
         assert "uncaught exception" in text and "boom-for-test" in text
     finally:
         crash.uninstall()
+
+
+def test_tprof_percentile_probes():
+    """time_prof.h analog: gated probes with percentile stats."""
+    import time as _time
+
+    from srslte_tpu.utils import tprof
+
+    tprof.reset_all()
+    tprof.set_enabled(False)
+    with tprof.probe("disabled")():
+        pass
+    assert tprof.probe("disabled").count == 0  # gate really gates
+
+    tprof.set_enabled(True)
+    try:
+        p = tprof.probe("work")
+        for i in range(20):
+            with p():
+                _time.sleep(0.0005 * (1 + (i % 3)))
+        s = p.stats()
+        assert s["count"] == 20
+        assert s["min_us"] >= 400
+        assert s["p99_us"] >= s["p50_us"] >= s["min_us"]
+        assert s["max_us"] >= s["p99_us"]
+        out = p.measure(lambda a, b: a + b, 2, 3)
+        assert out == 5 and p.count == 21
+        rep = tprof.report_all()
+        assert [r["name"] for r in rep] == ["work"]
+    finally:
+        tprof.set_enabled(False)
+        tprof.reset_all()
+
+
+def test_sys_metrics_producer():
+    """sys_metrics_processor analog feeding the metrics hub."""
+    from srslte_tpu.utils.metrics import MetricsHub
+    from srslte_tpu.utils.sysmetrics import SysMetrics
+
+    sm = SysMetrics()
+    first = sm.get_metrics()
+    assert first["proc_rss_mb"] > 1.0
+    assert first["threads"] >= 1
+    # burn a little CPU so the delta-based percentage is visible
+    x = 0
+    for i in range(2 * 10**6):
+        x += i
+    second = sm.get_metrics()
+    assert second["cpu_percent"] > 0.0
+    assert second["sys_mem_free_mb"] > 0.0
+
+    hub = MetricsHub()
+    hub.add_producer("sys", sm.get_metrics)
+    snap = hub.poll_once()
+    assert "cpu_percent" in snap["sys"]

@@ -166,3 +166,52 @@ def test_refsignal_dl_sync_finds_cell_and_cfo():
     got = cell_find(xs, 15, [7, 123, 200], 0)
     assert got is not None and got[0] == 123
     assert cell_find(xs, 15, [7, 200], 0) is None
+
+
+# -- TDD frame structure type 2 (36.211 §6.11 type-2 PSS/SSS placement) ------
+
+def test_sync_find_tdd_and_auto():
+    """TDD signal: SSS closes sf0/5, PSS in symbol 2 of sf1/6; sync_find
+    locates the cell with frame_type="tdd" and detects type 2 blindly with
+    "auto" (sync.c frame-type detection analog)."""
+    cell = Cell(n_prb=6, id=151, frame_type="tdd")
+    s = make_frame(cell, n_sf=10)
+    noisy = s + 0.05 * (np.random.default_rng(5).standard_normal(len(s))
+                        + 1j * np.random.default_rng(6).standard_normal(len(s))
+                        ).astype(np.complex64)
+    p = cell.ofdm
+    # window starting mid-sf9 of the previous frame: PSS of sf1 inside
+    win = jnp.asarray(noisy[: p.sf_len * 3])
+    r = sync_find(win, p, "tdd")
+    assert int(r.cell_id) == 151
+    assert not bool(r.sf5)
+    assert bool(r.tdd)
+    # sf_start points at subframe 0 (the SSS subframe)
+    assert int(r.sf_start) == 0
+    ra = sync_find(win, p, "auto")
+    assert int(ra.cell_id) == 151 and bool(ra.tdd)
+    assert int(ra.sf_start) == 0
+    # the second half-frame detects sf5
+    win5 = jnp.asarray(noisy[p.sf_len * 4 : p.sf_len * 8])
+    r5 = sync_find(win5, p, "auto")
+    assert int(r5.cell_id) == 151 and bool(r5.sf5) and bool(r5.tdd)
+    assert int(r5.sf_start) + p.sf_len * 4 == p.sf_len * 5
+
+
+def test_sync_auto_keeps_fdd():
+    """An FDD signal through frame_type="auto" must not flip to TDD."""
+    cell = Cell(n_prb=6, id=33)
+    s = make_frame(cell, n_sf=10)
+    p = cell.ofdm
+    r = sync_find(jnp.asarray(s[: p.sf_len * 2]), p, "auto")
+    assert int(r.cell_id) == 33 and not bool(r.tdd)
+    assert int(r.sf_start) == 0
+
+
+def test_cell_search_tdd_stream():
+    cell = Cell(n_prb=6, id=407, frame_type="tdd")
+    s = np.concatenate([make_frame(cell, n_sf=10)] * 2)
+    r = cell_search(jnp.asarray(s), cell.ofdm, "auto")
+    assert int(r.cell_id) == 407
+    assert bool(r.tdd)
+    assert int(r.votes) >= 2
