@@ -184,3 +184,66 @@ def test_csi_rs_periodicity_and_row2():
     out = csi_rs_put(res, car, slot=24, grid=grid)
     g = np.asarray(out)
     assert int((np.abs(g[12]) > 0).sum()) == 24  # density 1: one RE per PRB
+
+
+# -- NR RLC AM PDU codecs (rlc_am_nr.cc; vectors from rlc_am_nr_pdu_test.cc)
+
+def test_rlc_am_nr_data_header_vectors():
+    from srslte_tpu.rlc import (AmNrHeader, pack_am_nr, unpack_am_nr,
+                                is_control_pdu)
+
+    payload = bytes([0x11, 0x22, 0x33, 0x44])
+    # 12-bit complete SDU (test1)
+    tv = bytes([0x80, 0x00]) + payload
+    h, p = unpack_am_nr(tv, 12)
+    assert h.si == 0 and h.sn == 0 and h.p == 0 and p == payload
+    assert pack_am_nr(h, p, 12) == tv
+    assert not is_control_pdu(tv)
+    # 12-bit first segment, P flag, SN 511 (test2)
+    tv = bytes([0xD1, 0xFF]) + payload
+    h, p = unpack_am_nr(tv, 12)
+    assert h.si == 1 and h.sn == 511 and h.p == 1 and h.so == 0
+    assert pack_am_nr(h, p, 12) == tv
+    # 12-bit last segment, SN 0x404, SO 0x404 (test3 pack side)
+    tv = bytes([0xA4, 0x04, 0x04, 0x04]) + payload
+    h, p = unpack_am_nr(tv, 12)
+    assert h.si == 2 and h.sn == 0x404 and h.so == 0x404 and p == payload
+    assert pack_am_nr(h, p, 12) == tv
+    # ... and an 18-bit read of it is malformed (reserved bits, test3)
+    assert unpack_am_nr(tv, 18) is None
+    # 18-bit full SDU with P flag, SN 131586 (test4)
+    tv = bytes([0xC2, 0x02, 0x02]) + payload
+    h, p = unpack_am_nr(tv, 18)
+    assert h.si == 0 and h.sn == 131586 and h.p == 1
+    assert pack_am_nr(h, p, 18) == tv
+    # 18-bit middle segment with SO (test5)
+    tv = bytes([0xB2, 0x00, 0xFF, 0x02, 0x02]) + payload
+    h, p = unpack_am_nr(tv, 18)
+    assert h.si == 3 and h.sn == 0x200FF and h.so == 0x0202
+    assert pack_am_nr(h, p, 18) == tv
+    # reserved bits set (test6): malformed
+    assert unpack_am_nr(bytes([0xB7, 0x00, 0xFF, 0x02, 0x02]), 18) is None
+
+
+def test_rlc_am_nr_status_vectors():
+    from srslte_tpu.rlc import (AmNrStatus, is_control_pdu,
+                                pack_am_nr_status, unpack_am_nr_status)
+
+    # ACK_SN=2065, no NACK (control_pdu_test1)
+    tv = bytes([0x08, 0x11, 0x00])
+    assert is_control_pdu(tv)
+    s = unpack_am_nr_status(tv, 12)
+    assert s.ack_sn == 2065 and s.nacks == []
+    assert pack_am_nr_status(s, 12) == tv
+    # ACK_SN=2065, NACK_SN=273 (control_pdu_test2)
+    tv = bytes([0x08, 0x11, 0x80, 0x11, 0x10])
+    s = unpack_am_nr_status(tv, 12)
+    assert s.ack_sn == 2065 and s.nacks == [273]
+    assert pack_am_nr_status(s, 12) == tv
+    # multi-NACK round trip (E1 chaining in the nack flag half-byte)
+    s = AmNrStatus(ack_sn=100, nacks=[5, 9, 4095])
+    assert unpack_am_nr_status(pack_am_nr_status(s, 12), 12) == s
+    # malformed: reserved bits after ACK_SN
+    assert unpack_am_nr_status(bytes([0x08, 0x11, 0x40]), 12) is None
+    # data PDU rejected as status
+    assert unpack_am_nr_status(bytes([0x80, 0x00]), 12) is None
