@@ -2,8 +2,9 @@
 
 Reference behavior: lib/src/phy/phch/phich.c — BPSK HI spread by SF-4
 orthogonal sequences (8 per group: 4 real Walsh x {1, j}), repeated 3x,
-scrambled (c_init as PCFICH §6.9.1), mapped to 3 REGs per group in symbol 0
-(normal duration).
+scrambled (c_init as PCFICH §6.9.1), mapped to 3 REGs per group — all in
+symbol 0 (normal duration) or one per symbol 0/1/2 (extended duration,
+geometry from regs.py).
 
 TPU-first: all 8 sequences of all groups encode/decode as one einsum against
 the [8, 12] spread matrix; despreading is a matmul, the per-sequence loop in

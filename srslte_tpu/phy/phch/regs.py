@@ -2,8 +2,9 @@
 
 Reference behavior: lib/src/phy/phch/regs.c — REG enumeration ordered by
 (k0, then l) (regs.c:731-756 round-robin loop), PCFICH anchored at
-k̂ = 6*(N_id mod 2*N_prb) (regs_pcfich_init, :492), normal-duration PHICH
-groups on non-PCFICH symbol-0 REGs at n_i = (N_id + m + floor(i*n0/3)) mod n0
+k̂ = 6*(N_id mod 2*N_prb) (regs_pcfich_init, :492), PHICH groups at
+n_i = (N_id + m + floor(i*n_l/3)) mod n_l over non-PCFICH REGs — symbol 0
+for normal duration, symbols 0/1/2 per quadruplet for extended duration
 (regs_phich_init, :326-344), PDCCH sub-block interleaving with the 32-column
 permutation + cell-id cyclic shift truncated to whole CCEs
 (regs_pdcch_init, :67-128).
@@ -112,22 +113,27 @@ def reg_layout(cell: Cell) -> RegLayout:
         pcfich.append(flat(0, regs[hit][2]))
     pcfich_re = np.concatenate(pcfich).astype(np.int32)
 
-    # --- PHICH (normal duration, FDD m_i = 1): groups over symbol-0 REGs
-    if cell.phich_length != "norm":
-        raise NotImplementedError("extended PHICH duration not supported yet")
+    # --- PHICH (FDD m_i = 1): normal duration puts all 3 quadruplets of a
+    # group in symbol 0; extended duration spreads them over symbols 0/1/2
+    # (36.211 table 6.9.3-1, regs_phich_init regs.c:326-344).  Extended
+    # duration implies a >=3-symbol control region (CFI >= 3).
+    ext_dur = cell.phich_length == "ext"
     ngroups = math.ceil(PHICH_NG[cell.phich_resources] * cell.n_prb / 8)
-    sym0 = [j for j, (k0, l, _) in enumerate(regs) if l == 0 and not assigned[j]]
-    n0 = len(sym0)
+    sym_regs = {l: [j for j, (k0, rl, _) in enumerate(regs)
+                    if rl == l and not assigned[j]] for l in range(3)}
     phich = np.zeros((ngroups, 12), np.int32)
     taken = set()
     for m in range(ngroups):
         for i in range(3):
-            ni = (cell.id + m + i * n0 // 3) % n0
-            j = sym0[ni]
+            li = i if ext_dur else 0
+            avail = sym_regs[li]
+            nl = len(avail)
+            ni = (cell.id + m + i * nl // 3) % nl
+            j = avail[ni]
             if j in taken:
                 raise RuntimeError("PHICH REG collision (config too dense)")
             taken.add(j)
-            phich[m, 4 * i : 4 * i + 4] = flat(0, regs[j][2])
+            phich[m, 4 * i : 4 * i + 4] = flat(li, regs[j][2])
     for j in taken:
         assigned[j] = True
 

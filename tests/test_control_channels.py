@@ -185,3 +185,37 @@ def test_pdcch_blind_search_roundtrip(ports, L):
 
     # wrong RNTI must find nothing
     assert not pd.search(grid, ce, 0x111, len(payload))
+
+
+# ------------------------------------------------------ PHICH extended duration
+def test_reg_layout_extended_phich_duration():
+    """Extended duration: quadruplet i of each group sits in symbol i
+    (36.211 table 6.9.3-1, regs.c regs_phich_init)."""
+    cell = Cell(n_prb=50, id=77, nof_ports=2, phich_length="ext")
+    lay = reg_layout(cell)
+    nre = cell.ofdm.nof_re
+    assert lay.ngroups_phich == -(-50 // 8)
+    sym = lay.phich_re // nre
+    for i in range(3):
+        assert np.all(sym[:, 4 * i : 4 * i + 4] == i)
+    # disjoint from PCFICH and the CFI-3 PDCCH region, off CRS
+    all_idx = np.concatenate([lay.pcfich_re, lay.phich_re.reshape(-1),
+                              lay.pdcch_re[3]])
+    assert len(np.unique(all_idx)) == len(all_idx)
+    crs = crs_mask(cell)
+    s, k = all_idx // nre, all_idx % nre
+    assert not crs[s, k].any()
+
+
+def test_phich_roundtrip_extended_duration():
+    cell = Cell(n_prb=25, id=5, nof_ports=1, phich_length="ext")
+    enb, ue = EnbDl(cell), UeDl(cell)
+    ph = Phich(cell, 4)
+    rng = np.random.default_rng(3)
+    ack = rng.integers(0, 2, (ph.ngroups, 8)).astype(np.int32)
+    g = enb.put_base(enb.empty_grids(), sf_idx=4)
+    g = enb.put_phich(g, 4, jnp.asarray(ack))
+    s = enb.gen_signal(g)[..., 0, :]
+    grid, ce, _ = ue.fft_estimate(s, 4)
+    got, _ = ph.decode(grid, ce)
+    np.testing.assert_array_equal(np.asarray(got).astype(np.int32), ack)
