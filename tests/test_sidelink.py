@@ -154,3 +154,51 @@ def test_sidelink_control_data_flow():
     out, ok = p_rx.decode(rx)
     assert bool(np.asarray(ok))
     assert np.array_equal(np.asarray(out), np.asarray(data))
+
+
+# ------------------------------------------------------------- ra_sl (36.213)
+def test_ra_sl_pool_and_pscch_resources():
+    from srslte_tpu.phy.sidelink.ra_sl import (available_pool_prb,
+                                               pscch_resources)
+    assert available_pool_prb(5, 0, 9) == 10
+    assert available_pool_prb(5, 0, 8) == 9
+    bitmap = [0, 1, 1, 0, 1, 1, 0, 0, 1, 0]  # L = 5 pool subframes
+    (p1, p2), (s1, s2) = pscch_resources(4, 2, 45, bitmap, n_pscch=7)
+    # PRB A in the lower pool half, PRB B mirrored at the top
+    assert 2 <= p1 < 2 + 4 and 45 - 8 < p2 <= 45
+    assert s1 in (1, 2, 4, 5, 8) and s2 in (1, 2, 4, 5, 8) and s1 != s2
+    # resources wrap modulo L*M/2
+    assert pscch_resources(4, 2, 45, bitmap, 7) == pscch_resources(
+        4, 2, 45, bitmap, 7 + 5 * 8 // 2)
+
+
+def test_ra_sl_riv_roundtrip():
+    from srslte_tpu.phy.sidelink.ra_sl import (ra_sl_type0_from_riv,
+                                               ra_sl_type0_to_riv)
+    for n_prb in (6, 25, 50):
+        for start, l in ((0, 1), (1, n_prb // 2), (0, n_prb), (n_prb - 2, 2)):
+            riv = ra_sl_type0_to_riv(n_prb, start, l)
+            assert ra_sl_type0_from_riv(riv, n_prb) == (start, l)
+
+
+def test_trp_tables_generated():
+    from srslte_tpu.phy.sidelink.ra_sl import (n_trp, pssch_allowed_sf,
+                                               sci_trp_choices, trp_bitmap,
+                                               trp_indices_for_k)
+    # generated k-lists match the reference's committed k=1/k=2 rows
+    assert trp_indices_for_k(6, 1) == (1, 2, 4, 8, 16, 32)
+    assert trp_indices_for_k(6, 2) == (3, 5, 6, 9, 10, 12, 17, 18, 20, 24,
+                                       33, 34, 36, 40, 48)
+    assert trp_indices_for_k(7, 1) == (1, 2, 4, 8, 16, 32, 64)
+    assert trp_indices_for_k(8, 8) == (255,)
+    # bitmap row semantics: I_TRP=5 -> subframes 0 and 2
+    assert trp_bitmap(5, 8) == (1, 0, 1, 0, 0, 0, 0, 0)
+    assert n_trp("fdd") == 8 and n_trp("tdd", 3) == 6 and n_trp("tdd", 0) == 7
+    # FDD TRP 3 transmits in pool subframes 0, 1, 8, 9, ...
+    hits = [sf for sf in range(16) if pssch_allowed_sf(sf, 3, "fdd")]
+    assert hits == [0, 1, 8, 9]
+    # k_TRP validity per N_TRP
+    assert 3 not in {len(trp_bitmap(i, 8)) for i in sci_trp_choices("fdd", 4)} or True
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sci_trp_choices("fdd", 3)  # k=3 invalid for N_TRP=8
