@@ -87,3 +87,44 @@ class JsonLinesListener:
 
     def close(self):
         self._f.close()
+
+
+class StdoutTableListener:
+    """Console table like srsue's metrics_stdout.cc: a header line every
+    `header_every` rows, one fixed-width row per snapshot.
+
+    fields: list of (column title, dotted snapshot path) pairs; missing
+    values print as '-'.  Floats render with 3 significant digits the way
+    the reference's float_to_string does.
+    """
+
+    def __init__(self, fields: list, header_every: int = 10, out=None):
+        import sys
+
+        self.fields = fields
+        self.header_every = header_every
+        self._out = out or sys.stdout
+        self._n = 0
+        self._w = [max(len(t), 8) for t, _ in fields]
+
+    def _fmt(self, v) -> str:
+        if v is None or v == "":
+            return "-"
+        if isinstance(v, float):
+            return f"{v:.3g}"
+        return str(v)
+
+    def __call__(self, snap: dict):
+        if self._n % self.header_every == 0:
+            self._out.write(" ".join(t.rjust(w) for (t, _), w
+                                     in zip(self.fields, self._w)) + "\n")
+        row = []
+        for (_, path), w in zip(self.fields, self._w):
+            cur = snap
+            for part in path.split("."):
+                cur = cur.get(part) if isinstance(cur, dict) else None
+            row.append(self._fmt(None if isinstance(cur, dict) else cur)
+                       .rjust(w))
+        self._out.write(" ".join(row) + "\n")
+        self._out.flush()
+        self._n += 1

@@ -81,3 +81,26 @@ def test_mac_pcap_writes_valid_file(tmp_path):
     magic, = struct.unpack("<I", raw[:4])
     assert magic == 0xA1B2C3D4
     assert b"mac-lte" in raw
+
+
+def test_metrics_stdout_table():
+    """metrics_stdout.cc analog: header cadence + formatted rows."""
+    import io
+
+    from srslte_tpu.utils.metrics import MetricsHub, StdoutTableListener
+
+    buf = io.StringIO()
+    hub = MetricsHub(period_s=0.01)
+    state = {"snr": 21.4567, "mcs": 27}
+    hub.add_producer("phy", lambda: dict(state))
+    hub.add_listener(StdoutTableListener(
+        [("snr", "phy.snr"), ("mcs", "phy.mcs"), ("bler", "phy.bler")],
+        header_every=2, out=buf))
+    for _ in range(4):
+        hub.poll_once()
+    lines = [l for l in buf.getvalue().splitlines() if l]
+    # 2 headers + 4 rows
+    assert len(lines) == 6
+    assert lines[0].split() == ["snr", "mcs", "bler"]
+    assert lines[1].split() == ["21.5", "27", "-"]  # 3 sig digits, missing=-
+    assert lines[3] == lines[0]
