@@ -29,6 +29,13 @@ Channel conventions shared with UeApp (both sides derive them from the cell
 config, like the reference's sib/rr configs): CFI 2, PRACH in subframes with
 tti % 10 == 1, msg3 grant fixed (carried in the RAR), SR opportunities at
 tti % 10 == 3 on PUCCH resource n_pucch = ue_id.
+
+HARQ feedback: every scheduled DL TB expects ACK/NACK 4 TTIs later —
+PUCCH 1a at n_pucch = N_PUCCH_1 + n_cce (phy/phch/pucch_proc resources),
+or muxed into a simultaneous PUSCH as UCI; low correlation reads as DTX
+(with the ACK-moved-to-SR-resource hypothesis checked first).  NACKed TBs
+requeue through the scheduler's 1A path as adaptive retransmissions, with
+RLC AM as the backstop for DTX.
 """
 
 from __future__ import annotations
@@ -52,6 +59,7 @@ from .phy.phch.pdsch import Pdsch
 from .phy.phch.prach import PrachConfig, prach_detect
 from .phy.phch.pucch import Pucch, PucchConfig
 from .phy.phch.pusch import Pusch
+from .phy.phch.uci import UciCfgUl
 from .phy.phch.ra import DlGrant
 from .phy.phch.ra_ul import UlGrant
 from .rlc import RlcAm, RlcTm
@@ -74,7 +82,9 @@ RA_RNTI = 0x0002
 CFI = 2
 MSG3_GRANT = UlGrant(prb_start=1, n_prb=4, mcs=4)
 SR_SF = 3  # SR opportunities at tti % 5 == 3, PUCCH f1 n_pucch = crnti % 12
+N_PUCCH_1 = 12  # N(1)_PUCCH: HARQ-ACK at n_pucch = N_PUCCH_1 + n_cce
 SR_GRANT_BYTES = 64  # nominal demand an SR conveys until a BSR refines it
+ACK_DET_THRESH = 0.25  # PUCCH 1a correlation below this reads as DTX
 HO_PREAMBLE = 60  # dedicated preamble pool base for contention-free RACH
 
 
@@ -113,6 +123,11 @@ class _Cc:
     sched_ul: SchedUl
     pending_rar: bytes | None = None
     ul_expect: dict = field(default_factory=dict)  # tti -> [(crnti, g, m3)]
+    # HARQ feedback bookkeeping: tti -> [(crnti, ncce, raw TB bytes)] for
+    # PUCCH 1a decode at n_pucch = N_PUCCH_1 + ncce; NACKed TBs queue in
+    # dl_retx and are rescheduled through the scheduler's 1A path
+    ack_expect: dict = field(default_factory=dict)
+    dl_retx: list = field(default_factory=list)  # [(crnti, raw)]
     sfn: int = 0
 
 
@@ -246,6 +261,13 @@ class EnbApp:
             bc_requests.append((P_RNTI, len(pcch), 0))
             bc_payloads[P_RNTI] = pcch
             self._pending_pages = []
+        if not special and cc.dl_retx:
+            # NACKed TBs: adaptive HARQ retransmission as C-RNTI 1A
+            # allocations through the scheduler's common path (one TB/TTI)
+            crnti, raw = cc.dl_retx.pop(0)
+            if crnti in self.ues:
+                bc_requests.append((crnti, len(raw), 0))
+                bc_payloads[crnti] = raw
 
         # -- DL buffer states into the scheduler -----------------------------
         for crnti, ue in self.ues.items():
@@ -308,8 +330,12 @@ class EnbApp:
                         n += 1
             if not n:
                 continue
+            raw = pdu.pack(pdu_len=tbs_bytes)
             put_dlsch(a.rnti, a.grant, a.loc,
-                      pack_format1(a.dci, cc.cell.n_prb), pdu)
+                      pack_format1(a.dci, cc.cell.n_prb), raw)
+            # expect HARQ feedback on PUCCH 1a (FDD: tti+4; TDD: next UL sf)
+            cc.ack_expect.setdefault(self._next_ul(tti + 4), []).append(
+                (a.rnti, a.loc.cce, raw))
 
         # -- UL grants: BSR/SR-driven through SchedUl ------------------------
         # TDD: a DCI0 in this subframe schedules PUSCH k_pusch TTIs out
@@ -343,10 +369,39 @@ class EnbApp:
         cc = self._cc_of(pci)
         is_last_cc = pci is None or pci == list(self.ccs)[-1]
         if samples is None:
+            cc.ack_expect.pop(tti, None)  # no UL this TTI: feedback is DTX
             if is_last_cc:
                 self._tick()
             return
         expected = cc.ul_expect.pop(tti, [])
+        acks = cc.ack_expect.pop(tti, [])
+        served = {c for c, _, _ in expected}
+        # -- HARQ feedback: PUCCH 1a at n_pucch = N_PUCCH_1 + ncce ----------
+        for crnti, ncce, raw in acks:
+            ue = self.ues.get(crnti)
+            if ue is None or crnti in served or ue.rrc_state == "idle":
+                continue  # feedback rode PUSCH / UE gone: no PUCCH here
+            res = cc.enb_ul.decode_pucch(
+                samples, Pucch(cc.cell,
+                               PucchConfig("1a", n_pucch=N_PUCCH_1 + ncce),
+                               sf_idx=tti % 10))
+            bit = int(np.asarray(res["ack"]).reshape(-1)[0])
+            metric = float(np.asarray(res["metric"]).reshape(-1)[0])
+            if metric < ACK_DET_THRESH:
+                # DTX on the dynamic resource: a simultaneous positive SR
+                # moves the ACK onto the SR resource (36.213 §10.1)
+                res = cc.enb_ul.decode_pucch(
+                    samples, Pucch(cc.cell,
+                                   PucchConfig("1a", n_pucch=crnti % 12),
+                                   sf_idx=tti % 10))
+                bit = int(np.asarray(res["ack"]).reshape(-1)[0])
+                metric = float(np.asarray(res["metric"]).reshape(-1)[0])
+                if metric < ACK_DET_THRESH:
+                    continue  # true DTX: leave recovery to RLC AM
+                cc.sched_ul.ul_bsr(crnti, max(cc.sched_ul.bsr.get(crnti, 0),
+                                              SR_GRANT_BYTES))
+            if bit == 0:
+                cc.dl_retx.append((crnti, raw))
         if tti % 10 == self._prach_sf() and not expected:
             det, metric, toff = prach_detect(cc.prach_cfg, samples)
             det = np.asarray(det)
@@ -357,9 +412,18 @@ class EnbApp:
             if is_last_cc:
                 self._tick()
             return
+        ack_by_rnti = {c: (ncce, raw) for c, ncce, raw in acks}
         for crnti, grant, is_msg3 in expected:
-            pusch = Pusch(cc.cell, grant, tti % 10, rnti=crnti)
-            bits, ok, _ = cc.enb_ul.decode_pusch(samples, pusch)
+            # a pending HARQ-ACK for this UE rides the PUSCH as muxed UCI
+            ue = self.ues.get(crnti)
+            with_uci = (not is_msg3 and crnti in ack_by_rnti
+                        and ue is not None and ue.rrc_state != "idle")
+            pusch = Pusch(cc.cell, grant, tti % 10, rnti=crnti,
+                          uci=UciCfgUl(o_ack=1) if with_uci else None)
+            bits, ok, info = cc.enb_ul.decode_pusch(samples, pusch)
+            if with_uci and bool(np.asarray(ok)):
+                if int(np.asarray(info["ack"]).reshape(-1)[0]) == 0:
+                    cc.dl_retx.append((crnti, ack_by_rnti[crnti][1]))
             if not bool(np.asarray(ok)):
                 continue
             raw = np.packbits(np.asarray(bits)).tobytes()

@@ -10,6 +10,11 @@ fixed (carried in the RAR), PUSCH 4 TTIs after the grant, SR opportunities
 at tti % 10 == 3 on PUCCH format 1 resource n_pucch = crnti % 12.  UL-SCH
 PDUs piggyback a short BSR control element so the eNB scheduler tracks the
 remaining uplink demand (BSR-driven SchedUl).
+
+Every decoded DL assignment is answered with HARQ ACK/NACK 4 TTIs later:
+PUCCH format 1a at the pucch_proc-derived resource (dynamic n_cce +
+N_PUCCH_1, or the SR resource on a simultaneous positive SR), or muxed
+into a granted PUSCH as UCI (dl_harq.cc ack path analog).
 """
 
 from __future__ import annotations
@@ -32,7 +37,10 @@ from .phy.phch.pdcch import Pdcch
 from .phy.phch.pdsch import Pdsch
 from .phy.phch.prach import PrachConfig, prach_gen
 from .phy.phch.pucch import Pucch, PucchConfig
+from .phy.phch.pucch_proc import (AckCfg, PucchProcCfg, UciUsage, get_npucch,
+                                  select_format)
 from .phy.phch.pusch import Pusch
+from .phy.phch.uci import UciCfgUl
 from .phy.phch.ra_ul import UlGrant
 from .phy.ue.ue_dl import UeDl
 from .phy.ue.ue_mib import UeMib
@@ -60,6 +68,7 @@ RA_RNTI = 0x0002
 CFI = 2
 MSG3_GRANT = UlGrant(prb_start=1, n_prb=4, mcs=4)
 SR_SF = 3  # SR opportunities at tti % 5 == 3 (sr-ConfigIndex period-5 analog)
+N_PUCCH_1 = 12  # N(1)_PUCCH: dynamic-ACK region starts above the SR resources
 MEAS_PERIOD_MS = 5  # intra-frequency measurement cadence
 RSRP_REF_DBM = -60.0  # virtual-RF calibration: unit linear power -> -60 dBm
 
@@ -101,6 +110,10 @@ class UeApp:
         self.rrc_state = "idle"
         self.paged = 0
         self.pending_ul: dict[int, UlTx] = {}
+        # HARQ feedback: tti -> (ncce of the DL assignment's PDCCH, ack bit);
+        # transmitted on PUCCH 1a at n_pucch = N_PUCCH_1 + ncce (36.213
+        # §10.1, resource/format via phy.phch.pucch_proc)
+        self.pending_ack: dict[int, tuple] = {}
         self.rx_data: list = []
         self._ccch_sdu = b""
         # mobility state (sync.cc RLM + rrc_meas.cc + rrc.cc mobility)
@@ -284,7 +297,9 @@ class UeApp:
                 if dci1a is not None and not got_dl:
                     raw = decode_pdsch_for(dci1a, self.crnti)
                     if raw is None:
+                        self._arm_ack(tti, loc.cce, 0)  # NACK
                         continue
+                    self._arm_ack(tti, loc.cce, 1)
                     self._handle_dlsch(self.crnti, raw, tti)
                     got_dl = True
                 elif dci1a is None and not got_ul:
@@ -307,9 +322,12 @@ class UeApp:
                     dci1 = unpack_format1(payload, self.cell.n_prb)
                     if dci1 is not None:
                         raw = decode_pdsch_for(dci1, self.crnti)
-                        if raw is not None:
-                            self._handle_dlsch(self.crnti, raw, tti)
-                            break
+                        if raw is None:
+                            self._arm_ack(tti, loc.cce, 0)  # NACK
+                            continue
+                        self._arm_ack(tti, loc.cce, 1)
+                        self._handle_dlsch(self.crnti, raw, tti)
+                        break
         self._cell_switched = False
         self.ra.tick()
         self.srb1.tick()
@@ -328,6 +346,15 @@ class UeApp:
             self.pending_ul[tp] = UlTx(tp, "prach", preamble=p)
             self.state = "ho_rach_sent"
 
+    def _arm_ack(self, tti: int, ncce: int, bit: int):
+        """Queue HARQ feedback for the DL assignment decoded at `tti`
+        (FDD: tti+4; TDD: the next UL subframe from there).  A later
+        candidate succeeding upgrades NACK to ACK, never the reverse."""
+        key = self._next_ul(tti + 4)
+        cur = self.pending_ack.get(key)
+        if cur is None or (cur[1] == 0 and bit == 1):
+            self.pending_ack[key] = (ncce, bit)
+
     # ---------------- UL ----------------------------------------------------
     def tx_subframe(self, tti: int):
         """Returns UL samples for this TTI or None."""
@@ -336,13 +363,28 @@ class UeApp:
         if self.tdd is not None and not self._ul_sf(tti):
             return None
         tx = self.pending_ul.pop(tti, None)
+        ack = self.pending_ack.pop(tti, None)
         if tx is None:
+            sr_wanted = (self._sr_opportunity(tti) and self.crnti
+                         and not self.pending_ul
+                         and self.state == "connected"
+                         and (self.srb1.get_buffer_state() > 0
+                              or self.drb1.get_buffer_state() > 0))
+            if ack is not None and self.crnti and self.state == "connected":
+                # HARQ-ACK on PUCCH 1a; a simultaneous positive SR moves it
+                # onto the SR resource (36.213 §10.1, pucch_proc)
+                uci = UciUsage(acks=(AckCfg(nof_acks=1, ncce=(ack[0],)),),
+                               sr_positive=bool(sr_wanted))
+                cfg = PucchProcCfg(n_pucch_sr=self.crnti % 12,
+                                   n_pucch_1=N_PUCCH_1)
+                fmt = select_format(self.cell, cfg, uci)
+                n_pucch, b = get_npucch(self.cell, cfg, uci, (ack[1],))
+                pucch = Pucch(self.cell,
+                              PucchConfig(fmt, n_pucch=n_pucch),
+                              sf_idx=tti % 10)
+                return self.ue_ul.encode_pucch(pucch, ack_bits=b)
             # SR: connected, data waiting, but no grant anywhere in flight
-            if (self._sr_opportunity(tti) and self.crnti
-                    and not self.pending_ul
-                    and self.state == "connected"
-                    and (self.srb1.get_buffer_state() > 0
-                         or self.drb1.get_buffer_state() > 0)):
+            if sr_wanted:
                 pucch = Pucch(self.cell,
                               PucchConfig("1", n_pucch=self.crnti % 12),
                               sf_idx=tti % 10)
@@ -353,12 +395,19 @@ class UeApp:
             out = np.zeros(self.cell.ofdm.sf_len, np.complex64)
             out[: len(s)] = s
             return jnp.asarray(out)
-        # PUSCH: fill the TBS from RLC buffers
-        pusch = Pusch(self.cell, tx.grant, tti % 10, rnti=self.crnti)
+        # PUSCH: fill the TBS from RLC buffers; a pending HARQ-ACK rides
+        # the PUSCH as multiplexed UCI (36.212 §5.2.2.6)
+        with_uci = ack is not None and self.state == "connected"
+        pusch = Pusch(self.cell, tx.grant, tti % 10, rnti=self.crnti,
+                      uci=UciCfgUl(o_ack=1) if with_uci else None)
         tbs_bytes = tx.grant.tbs // 8
         payload = tx.payload or self._build_ul_mac(tbs_bytes)
         raw = payload + bytes(tbs_bytes - len(payload))
         bits = np.unpackbits(np.frombuffer(raw, np.uint8))[: tx.grant.tbs]
+        if with_uci:
+            return self.ue_ul.encode_pusch(
+                pusch, jnp.asarray(bits),
+                ack=jnp.asarray([ack[1]], jnp.uint8))
         return self.ue_ul.encode_pusch(pusch, jnp.asarray(bits))
 
     def _queue_ul(self, tti: int, grant: UlGrant):
