@@ -246,8 +246,31 @@ def dlsch_decode(llr, cfg: DlschConfig, n_iter: int = 5, early: int = 1,
             nfail = jnp.sum(jnp.logical_not(ok2))
 
             def compact():
-                # phase 3: survivors only, resumed, to the full n_iter
-                hard3, _ = dec_more(dec_take(st2, idx), n_iter - mid)
+                # phase 3: survivors only, resumed — one iteration at a
+                # time with a second, 4x-deeper compaction for stragglers
+                # (post-3-iteration failure is ~1e-4 of CBs at the operating
+                # point, so the n_iter ceiling runs on ~cap/4 blocks)
+                st3 = dec_take(st2, idx)
+                hard3, st3 = dec_more(st3, 1)
+                if n_iter - mid > 1:
+                    ok3 = cb_ok(hard3)
+                    cap2 = max(1, cap // 4)
+                    idx3 = jnp.argsort(ok3.astype(jnp.int32), stable=True)[:cap2]
+                    nfail3 = jnp.sum(jnp.logical_not(ok3))
+
+                    def deeper(hard3=hard3, st3=st3, ok3=ok3, idx3=idx3):
+                        hard4, _ = dec_more(dec_take(st3, idx3),
+                                            n_iter - mid - 1)
+                        keep3 = ok3[idx3][:, None]
+                        return hard3.at[idx3].set(
+                            jnp.where(keep3, hard3[idx3], hard4))
+
+                    def full3(st3=st3):
+                        return dec_more(st3, n_iter - mid - 1)[0]
+
+                    hard3 = jax.lax.cond(
+                        nfail3 == 0, lambda: hard3,
+                        lambda: jax.lax.cond(nfail3 <= cap2, deeper, full3))
                 keep = ok2[idx][:, None]
                 return hard2.at[idx].set(jnp.where(keep, hard2[idx], hard3))
 
