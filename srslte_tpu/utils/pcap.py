@@ -26,6 +26,43 @@ DIR_DOWNLINK = 1
 RNTI_TYPE_C = 3
 
 
+def _mac_lte_context(ue_id: int, rnti: int, tti: int,
+                     direction: int) -> bytes:
+    """mac-lte tag-value context block (packet-mac-lte.h conventions)."""
+    return (bytes([1, direction, RNTI_TYPE_C])  # radio type FDD, dir, type
+            + bytes([TAG_RNTI]) + struct.pack("!H", rnti)
+            + bytes([TAG_UEID]) + struct.pack("!H", ue_id)
+            + bytes([TAG_SUBFRAME]) + struct.pack("!H", tti % 10)
+            + bytes([TAG_PAYLOAD]))
+
+
+@dataclass
+class MacPcapNet:
+    """Live network export of mac-lte frames (mac_pcap_net.cc analog).
+
+    Sends each framed MAC PDU as a UDP datagram to a listening Wireshark
+    ("DLT_USER framing over UDP"); same payload bytes as MacPcap's file
+    path, no file involved.
+    """
+
+    host: str = "127.0.0.1"
+    port: int = 5847
+    ue_id: int = 1
+
+    def __post_init__(self):
+        import socket
+
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def write_pdu(self, pdu: bytes, rnti: int, tti: int,
+                  direction: int = DIR_DOWNLINK):
+        ctx = _mac_lte_context(self.ue_id, rnti, tti, direction)
+        self._sock.sendto(MAC_LTE_START + ctx + pdu, (self.host, self.port))
+
+    def close(self):
+        self._sock.close()
+
+
 @dataclass
 class MacPcap:
     path: str
@@ -47,11 +84,7 @@ class MacPcap:
 
     def write_pdu(self, pdu: bytes, rnti: int, tti: int,
                   direction: int = DIR_DOWNLINK):
-        ctx = (bytes([1, direction, RNTI_TYPE_C])  # radio type FDD, dir, rnti type
-               + bytes([TAG_RNTI]) + struct.pack("!H", rnti)
-               + bytes([TAG_UEID]) + struct.pack("!H", self.ue_id)
-               + bytes([TAG_SUBFRAME]) + struct.pack("!H", tti % 10)
-               + bytes([TAG_PAYLOAD]))
+        ctx = _mac_lte_context(self.ue_id, rnti, tti, direction)
         frame = self._udp_frame(MAC_LTE_START + ctx + pdu)
         ts = time.time()
         self._f.write(struct.pack("<IIII", int(ts), int((ts % 1) * 1e6),

@@ -231,3 +231,25 @@ def test_sys_metrics_producer():
     hub.add_producer("sys", sm.get_metrics)
     snap = hub.poll_once()
     assert "cpu_percent" in snap["sys"]
+
+
+def test_mac_pcap_net_live_export():
+    """mac_pcap_net.cc analog: framed MAC PDUs over a live UDP socket."""
+    import socket
+
+    from srslte_tpu.utils.pcap import MAC_LTE_START, MacPcap, MacPcapNet
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(2.0)
+    port = rx.getsockname()[1]
+    net = MacPcapNet(port=port, ue_id=7)
+    net.write_pdu(b"\x3f\x01\x02", rnti=0x46, tti=13, direction=1)
+    dgram = rx.recv(2048)
+    net.close()
+    rx.close()
+    assert dgram.startswith(MAC_LTE_START)
+    assert dgram.endswith(b"\x3f\x01\x02")
+    # identical framing bytes as the file writer's payload path
+    import struct as _s
+    assert _s.pack("!H", 0x46) in dgram  # RNTI tag value
