@@ -253,3 +253,25 @@ def test_mac_pcap_net_live_export():
     # identical framing bytes as the file writer's payload path
     import struct as _s
     assert _s.pack("!H", 0x46) in dgram  # RNTI tag value
+
+
+def test_nr_band_helper():
+    """band_helper.cc NR raster + band lookup."""
+    from srslte_tpu.phy.common.band import (freq_to_nr_arfcn, get_bands_nr,
+                                            nr_arfcn_to_freq)
+
+    # raster segment boundaries (38.104 table 5.4.2.1-1)
+    assert nr_arfcn_to_freq(422000) == 2110e6  # n1 DL start, 5 kHz raster
+    assert nr_arfcn_to_freq(632628) == 3489.42e6  # common n78 SSB region
+    assert nr_arfcn_to_freq(600000) == 3000e6
+    # round trips
+    for arfcn in (123400, 422020, 632628, 2016667):
+        assert freq_to_nr_arfcn(nr_arfcn_to_freq(arfcn)) == arfcn
+    # band lookup incl. overlapping bands and the raster-step gate
+    assert 78 in get_bands_nr(632628) and 77 in get_bands_nr(632628)
+    assert set(get_bands_nr(422000)) >= {1, 66}
+    assert 41 in get_bands_nr(499203)  # step 3
+    assert 41 not in get_bands_nr(499202)
+    import pytest as _p
+    with _p.raises(ValueError):
+        nr_arfcn_to_freq(4000000)
