@@ -159,7 +159,8 @@ class EnbApp:
         self.mcs_dl = mcs_dl
         self.neighbor_meas = neighbor_meas or len(cells) > 1
         self.ues: dict[int, EnbUe] = {}
-        self._pending_pages: list[int] = []
+        # guti -> set of cell ids that still owe this page
+        self._pending_pages: dict[int, set] = {}
         self._next_ue_id = 1
         self._pending_nas: dict = {}
         # S1 wire mode: NAS crosses a real S1AP association (enb_s1.EnbS1)
@@ -257,10 +258,19 @@ class EnbApp:
             bc_payloads[SI_RNTI] = sib
         if (not special and self._pending_pages
                 and tti % 10 == page_sf):  # paging occasion
-            pcch = rrc_pack(Paging(records=tuple(self._pending_pages)))
-            bc_requests.append((P_RNTI, len(pcch), 0))
-            bc_payloads[P_RNTI] = pcch
-            self._pending_pages = []
+            # page on EVERY cell: an idle UE may have reselected to any of
+            # our sectors (the reference's paging goes to all cells of the
+            # tracking area, s1ap_paging_proc)
+            recs = tuple(gu for gu, left in self._pending_pages.items()
+                         if cc.cell.id in left)
+            if recs:
+                pcch = rrc_pack(Paging(records=recs))
+                bc_requests.append((P_RNTI, len(pcch), 0))
+                bc_payloads[P_RNTI] = pcch
+                for gu in recs:
+                    self._pending_pages[gu].discard(cc.cell.id)
+                self._pending_pages = {gu: left for gu, left
+                                       in self._pending_pages.items() if left}
         if not special and cc.dl_retx:
             # NACKed TBs: adaptive HARQ retransmission as C-RNTI 1A
             # allocations through the scheduler's common path (one TB/TTI)
@@ -576,9 +586,9 @@ class EnbApp:
         ue.srb1.write_sdu(rrc_pack(RrcSecurityModeCommand(EEA2, EIA2)))
 
     def page(self, guti: int):
-        """Queue a PCCH page for the next paging occasion (the MME's
-        paging trigger when DL data arrives for an idle UE)."""
-        self._pending_pages.append(guti)
+        """Queue a PCCH page for the next paging occasion on every cell
+        (the MME's paging trigger when DL data arrives for an idle UE)."""
+        self._pending_pages[guti] = set(self.ccs)
 
     def release_connection(self, ue: EnbUe):
         """Send RRCConnectionRelease on SRB1 and drop the context after

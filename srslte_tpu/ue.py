@@ -69,6 +69,8 @@ CFI = 2
 MSG3_GRANT = UlGrant(prb_start=1, n_prb=4, mcs=4)
 SR_SF = 3  # SR opportunities at tti % 5 == 3 (sr-ConfigIndex period-5 analog)
 N_PUCCH_1 = 12  # N(1)_PUCCH: dynamic-ACK region starts above the SR resources
+QHYST_DB = 3.0  # 36.304 Qhyst: reselection ranking hysteresis
+T_RESEL_MS = 40  # 36.304 Treselection (scaled to the test timeline)
 MEAS_PERIOD_MS = 5  # intra-frequency measurement cadence
 RSRP_REF_DBM = -60.0  # virtual-RF calibration: unit linear power -> -60 dBm
 
@@ -137,6 +139,8 @@ class UeApp:
         self.reest_count = 0
         self._muted_pcis: frozenset = frozenset()
         self._crs_mute = None  # active FeICIC CRS-muting mask (or None)
+        self._resel_ms = 0  # 36.304 Treselection accumulator (idle mode)
+        self.reselect_count = 0
 
     CRS_MUTE_REL_DB = 6.0  # mute a neighbor's CRS when within this of serving
 
@@ -236,7 +240,8 @@ class UeApp:
                 self._start_reestablishment(self.cell.id, self.crnti,
                                             cause="other_fail")
                 return
-        if (self._measurer is not None and self.state == "connected"
+        if (self._measurer is not None
+                and self.state in ("connected", "camped")
                 and tti % MEAS_PERIOD_MS == 0):
             self._do_measure(samples, sf)
 
@@ -583,6 +588,21 @@ class UeApp:
             return
         self._serving_dbm = float(serving)
         self._update_crs_mute()
+        if self.state == "camped" and by_pci:
+            # 36.304 R-criterion cell reselection: a neighbor out-ranking
+            # the serving cell by Qhyst for Treselection moves the camp
+            # (rrc_cell.cc / cell selection procedures analog)
+            best = max(by_pci, key=by_pci.get)
+            if by_pci[best] > serving + QHYST_DB:
+                self._resel_ms += MEAS_PERIOD_MS
+                if self._resel_ms >= T_RESEL_MS:
+                    self.known_pcis.add(best)
+                    self._switch_cell(best)
+                    self.reselect_count += 1
+                    self._resel_ms = 0
+            else:
+                self._resel_ms = 0
+            return
         if self.meas_engine is None or self.pdcp1 is None:
             return
         rep = self.meas_engine.tick(float(serving), by_pci, MEAS_PERIOD_MS)
