@@ -134,9 +134,15 @@ class _Cc:
 class EnbApp:
     def __init__(self, cells, mme=None, mcs_dl: int = 5,
                  neighbor_meas: bool = False, s1=None, events=None,
-                 tdd=None):
+                 tdd=None, sib2=None):
         from .phy.common.tdd import TddConfig
         from .utils.events import EventLog
+        from .rrc.messages import Sib2
+
+        # the broadcast common config IS the live config: PRACH geometry
+        # and the PUCCH ACK region derive from it on both ends of the air
+        # interface (enb_cfg_parser sib2 -> phy semantics)
+        self.sib2 = sib2 or Sib2()
 
         cells = [cells] if isinstance(cells, Cell) else list(cells)
         # TDD frame structure: one UL/DL configuration for all cells; DL
@@ -150,7 +156,9 @@ class EnbApp:
         for i, c in enumerate(cells):
             self.ccs[c.id] = _Cc(
                 cell=c, enb_dl=EnbDl(c), enb_ul=EnbUl(c),
-                prach_cfg=PrachConfig(c.ofdm, zero_corr_cfg=7),
+                prach_cfg=PrachConfig(c.ofdm, root_seq_idx=self.sib2.root_seq_idx,
+                                      zero_corr_cfg=self.sib2.zero_corr_cfg,
+                                      freq_offset_prb=self.sib2.prach_freq_offset),
                 rach=EnbRach(next_crnti=0x46 + 0x100 * i),
                 sched_dl=SchedDl(c, cfi=CFI), sched_ul=SchedUl(c, cfi=CFI))
             self.events.sector_start(i, c.id, c.id)
@@ -256,6 +264,10 @@ class EnbApp:
             sib = rrc_pack(Sib1())
             bc_requests.append((SI_RNTI, len(sib), 0))
             bc_payloads[SI_RNTI] = sib
+        elif not special and tti % 20 == 15:  # SIB2 SI window
+            si = rrc_pack(self.sib2)
+            bc_requests.append((SI_RNTI, len(si), 0))
+            bc_payloads[SI_RNTI] = si
         if (not special and self._pending_pages
                 and tti % 10 == page_sf):  # paging occasion
             # page on EVERY cell: an idle UE may have reselected to any of
@@ -393,7 +405,8 @@ class EnbApp:
                 continue  # feedback rode PUSCH / UE gone: no PUCCH here
             res = cc.enb_ul.decode_pucch(
                 samples, Pucch(cc.cell,
-                               PucchConfig("1a", n_pucch=N_PUCCH_1 + ncce),
+                               PucchConfig("1a", n_pucch=self.sib2.n1_pucch_an
+                                           + ncce),
                                sf_idx=tti % 10))
             bit = int(np.asarray(res["ack"]).reshape(-1)[0])
             metric = float(np.asarray(res["metric"]).reshape(-1)[0])

@@ -497,6 +497,92 @@ class Sib1:
 
 
 @dataclass
+class Sib2:
+    """SystemInformationBlockType2 carried in a SystemInformation message:
+    the common radio resource config a UE must acquire before RACH
+    (36.331 §6.3.1).  The parametrized fields are the ones the stack
+    actually derives live config from (PRACH geometry, N(1)_PUCCH);
+    everything else packs with spec-sane defaults."""
+
+    root_seq_idx: int = 0
+    prach_cfg_idx: int = 3  # 36.211 table 5.7.1-2: format 0, any SFN, sf 1
+    zero_corr_cfg: int = 7
+    prach_freq_offset: int = 0
+    n1_pucch_an: int = 12
+
+    _channel = "bcch"
+
+    def to_tree(self):
+        sib2 = {
+            "rr_cfg_common": {
+                "rach_cfg_common": {
+                    "preamb_info": {"nof_ra_preambs": "n64"},
+                    "pwr_ramp_params": {
+                        "pwr_ramp_step": "dB2",
+                        "preamb_init_rx_target_pwr": "dBm_104"},
+                    "ra_supervision_info": {
+                        "preamb_trans_max": "n10",
+                        "ra_resp_win_size": "sf10",
+                        "mac_contention_resolution_timer": "sf64"},
+                    "max_harq_msg3_tx": 4},
+                "bcch_cfg": {"mod_period_coeff": "n4"},
+                "pcch_cfg": {"default_paging_cycle": "rf32", "nb": "one_t"},
+                "prach_cfg": {
+                    "root_seq_idx": self.root_seq_idx,
+                    "prach_cfg_info": {
+                        "prach_cfg_idx": self.prach_cfg_idx,
+                        "high_speed_flag": False,
+                        "zero_correlation_zone_cfg": self.zero_corr_cfg,
+                        "prach_freq_offset": self.prach_freq_offset}},
+                "pdsch_cfg_common": {"ref_sig_pwr": 0, "p_b": 0},
+                "pusch_cfg_common": {
+                    "pusch_cfg_basic": {
+                        "n_sb": 1, "hop_mode": "inter_sub_frame",
+                        "pusch_hop_offset": 0, "enable64_qam": True},
+                    "ul_ref_sigs_pusch": {
+                        "group_hop_enabled": False, "group_assign_pusch": 0,
+                        "seq_hop_enabled": False, "cyclic_shift": 0}},
+                "pucch_cfg_common": {"delta_pucch_shift": "ds1",
+                                     "n_rb_cqi": 0, "n_cs_an": 0,
+                                     "n1_pucch_an": self.n1_pucch_an},
+                "srs_ul_cfg_common": ("release", None),
+                "ul_pwr_ctrl_common": {
+                    "p0_nominal_pusch": -85, "alpha": "al07",
+                    "p0_nominal_pucch": -105,
+                    "delta_flist_pucch": {
+                        "delta_f_pucch_format1": "deltaF0",
+                        "delta_f_pucch_format1b": "deltaF3",
+                        "delta_f_pucch_format2": "deltaF0",
+                        "delta_f_pucch_format2a": "deltaF0",
+                        "delta_f_pucch_format2b": "deltaF0"},
+                    "delta_preamb_msg3": 4},
+                "ul_cp_len": "len1"},
+            "ue_timers_and_consts": {
+                "t300": "ms1000", "t301": "ms1000", "t310": "ms1000",
+                "n310": "n10", "t311": "ms10000", "n311": "n1"},
+            "freq_info": {"add_spec_emission": 1},
+            "time_align_timer_common": "infinity"}
+        return ("sys_info", {"crit_exts": (
+            "sys_info_r8", {"sib_type_and_info": [("sib2", sib2)]})})
+
+    @staticmethod
+    def from_tree(t):
+        for kind, sib in t["crit_exts"][1]["sib_type_and_info"]:
+            if kind != "sib2":
+                continue
+            rr = sib["rr_cfg_common"]
+            pr = rr["prach_cfg"]
+            info = pr["prach_cfg_info"]
+            return Sib2(
+                root_seq_idx=pr["root_seq_idx"],
+                prach_cfg_idx=info["prach_cfg_idx"],
+                zero_corr_cfg=info["zero_correlation_zone_cfg"],
+                prach_freq_offset=info["prach_freq_offset"],
+                n1_pucch_an=rr["pucch_cfg_common"]["n1_pucch_an"])
+        return None
+
+
+@dataclass
 class Paging:
     """PCCH Paging: S-TMSI paging records (36.331 6.2.2, PO/PF math with
     the caller per 36.304 7)."""
@@ -568,7 +654,7 @@ CHANNELS = {
         "security_mode_cmd": RrcSecurityModeCommand,
         "rrc_conn_recfg": ConnectionReconfiguration,
         "rrc_conn_release": ConnectionRelease}),
-    "bcch": (S.BCCH_DL_SCH_MESSAGE, {"sib_type1": Sib1}),
+    "bcch": (S.BCCH_DL_SCH_MESSAGE, {"sib_type1": Sib1, "sys_info": Sib2}),
     "pcch": (S.PCCH_MESSAGE, {"paging": Paging}),
 }
 

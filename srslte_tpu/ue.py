@@ -49,7 +49,7 @@ from .phy.ue.intra_measure import IntraMeasure
 from .rlc import RlcAm, RlcTm
 from .rrc.meas import MeasEventEngine, ReportConfig
 from .rrc.mobility import RadioLinkMonitor, RlmConfig, short_mac_i
-from .rrc.messages import (ConnectionReconfiguration,
+from .rrc.messages import (ConnectionReconfiguration, Sib2,
                            ConnectionReconfigurationComplete,
                            ConnectionRelease, ConnectionRequest,
                            ConnectionSetup, ConnectionSetupComplete,
@@ -103,6 +103,8 @@ class UeApp:
         self.state = "mib"
         self.mib: Mib | None = None
         self.sib1: Sib1 | None = None
+        self.sib2 = None  # 36.331 SIB2: live PRACH/PUCCH common config
+        self.n_pucch_1 = N_PUCCH_1  # overridden by SIB2 n1_pucch_an
         self.crnti = 0
         self.srb0 = RlcTm()
         self.srb1 = RlcAm()
@@ -337,9 +339,10 @@ class UeApp:
         self.ra.tick()
         self.srb1.tick()
         self.drb1.tick()
-        if self.state == "rach_wait" and sf == 0:
+        if self.state == "rach_wait" and sf == 0 and self.sib2 is not None:
             # schedule PRACH for the next PRACH opportunity (FDD: tti%10==1;
-            # TDD: the first UL subframe of the frame)
+            # TDD: the first UL subframe of the frame) — only once SIB2 has
+            # delivered the PRACH config (36.331: SI acquisition precedes RA)
             p = self.ra.start(np.random.default_rng(self.cell.id + tti))
             tp = self._next_ul(tti + 1)
             self.pending_ul[tp] = UlTx(tp, "prach", preamble=p)
@@ -381,7 +384,7 @@ class UeApp:
                 uci = UciUsage(acks=(AckCfg(nof_acks=1, ncce=(ack[0],)),),
                                sr_positive=bool(sr_wanted))
                 cfg = PucchProcCfg(n_pucch_sr=self.crnti % 12,
-                                   n_pucch_1=N_PUCCH_1)
+                                   n_pucch_1=self.n_pucch_1)
                 fmt = select_format(self.cell, cfg, uci)
                 n_pucch, b = get_npucch(self.cell, cfg, uci, (ack[1],))
                 pucch = Pucch(self.cell,
@@ -455,6 +458,16 @@ class UeApp:
             msg = rrc_unpack(raw, "bcch")
             if isinstance(msg, Sib1):
                 self.sib1 = msg
+            elif isinstance(msg, Sib2):
+                if self.sib2 is None or msg != self.sib2:
+                    # derive live config from the broadcast (NOT from shared
+                    # constants): PRACH cyclic-shift geometry + ACK region
+                    self.prach_cfg = PrachConfig(
+                        self.cell.ofdm, root_seq_idx=msg.root_seq_idx,
+                        zero_corr_cfg=msg.zero_corr_cfg,
+                        freq_offset_prb=msg.prach_freq_offset)
+                    self.n_pucch_1 = msg.n1_pucch_an
+                self.sib2 = msg
             return
         if rnti == RA_RNTI:
             if self.ra.state != "wait_rar":
