@@ -82,7 +82,7 @@ RA_RNTI = 0x0002
 CFI = 2
 MSG3_GRANT = UlGrant(prb_start=1, n_prb=4, mcs=4)
 SR_SF = 3  # SR opportunities at tti % 5 == 3, PUCCH f1 n_pucch = crnti % 12
-N_PUCCH_1 = 12  # N(1)_PUCCH: HARQ-ACK at n_pucch = N_PUCCH_1 + n_cce
+# N(1)_PUCCH lives in Sib2.n1_pucch_an (broadcast, the live value)
 SR_GRANT_BYTES = 64  # nominal demand an SR conveys until a BSR refines it
 ACK_DET_THRESH = 0.25  # PUCCH 1a correlation below this reads as DTX
 HO_PREAMBLE = 60  # dedicated preamble pool base for contention-free RACH
@@ -283,13 +283,19 @@ class EnbApp:
                     self._pending_pages[gu].discard(cc.cell.id)
                 self._pending_pages = {gu: left for gu, left
                                        in self._pending_pages.items() if left}
+        retx_rnti = None
         if not special and cc.dl_retx:
             # NACKed TBs: adaptive HARQ retransmission as C-RNTI 1A
-            # allocations through the scheduler's common path (one TB/TTI)
+            # allocations through the scheduler's common path (one TB/TTI).
+            # TBs beyond the common-space TBS ceiling fall back to RLC AM
+            # recovery rather than crashing the allocator.
             crnti, raw = cc.dl_retx.pop(0)
-            if crnti in self.ues:
+            from .phy.phch.ra import tbs_from_itbs
+
+            if crnti in self.ues and len(raw) * 8 <= tbs_from_itbs(26, 3):
                 bc_requests.append((crnti, len(raw), 0))
                 bc_payloads[crnti] = raw
+                retx_rnti = crnti
 
         # -- DL buffer states into the scheduler -----------------------------
         for crnti, ue in self.ues.items():
@@ -304,6 +310,9 @@ class EnbApp:
                 n += ue.drb1.get_buffer_state()
             if ue.pending_ce is not None:
                 n += 7
+            if crnti == retx_rnti:
+                n = 0  # one DL assignment per UE per TTI (36.213): the
+                # retransmission occupies this UE's slot this subframe
             cc.sched_dl.buffer_state(crnti, n + (4 if n else 0))
 
         if not special:
@@ -398,25 +407,31 @@ class EnbApp:
         expected = cc.ul_expect.pop(tti, [])
         acks = cc.ack_expect.pop(tti, [])
         served = {c for c, _, _ in expected}
+        # the PUCCH region is demodulated at most ONCE per TTI; every
+        # ACK/SR hypothesis decodes against the same cached grid
+        _grid_cache = []
+
+        def pucch_grid():
+            if not _grid_cache:
+                _grid_cache.append(cc.enb_ul.ofdm.rx_sf(samples))
+            return _grid_cache[0]
         # -- HARQ feedback: PUCCH 1a at n_pucch = N_PUCCH_1 + ncce ----------
         for crnti, ncce, raw in acks:
             ue = self.ues.get(crnti)
             if ue is None or crnti in served or ue.rrc_state == "idle":
                 continue  # feedback rode PUSCH / UE gone: no PUCCH here
-            res = cc.enb_ul.decode_pucch(
-                samples, Pucch(cc.cell,
-                               PucchConfig("1a", n_pucch=self.sib2.n1_pucch_an
-                                           + ncce),
-                               sf_idx=tti % 10))
+            res = Pucch(cc.cell,
+                        PucchConfig("1a", n_pucch=self.sib2.n1_pucch_an
+                                    + ncce),
+                        sf_idx=tti % 10).decode(pucch_grid())
             bit = int(np.asarray(res["ack"]).reshape(-1)[0])
             metric = float(np.asarray(res["metric"]).reshape(-1)[0])
             if metric < ACK_DET_THRESH:
                 # DTX on the dynamic resource: a simultaneous positive SR
                 # moves the ACK onto the SR resource (36.213 §10.1)
-                res = cc.enb_ul.decode_pucch(
-                    samples, Pucch(cc.cell,
-                                   PucchConfig("1a", n_pucch=crnti % 12),
-                                   sf_idx=tti % 10))
+                res = Pucch(cc.cell,
+                            PucchConfig("1a", n_pucch=crnti % 12),
+                            sf_idx=tti % 10).decode(pucch_grid())
                 bit = int(np.asarray(res["ack"]).reshape(-1)[0])
                 metric = float(np.asarray(res["metric"]).reshape(-1)[0])
                 if metric < ACK_DET_THRESH:
@@ -466,7 +481,7 @@ class EnbApp:
                 pucch = Pucch(cc.cell,
                               PucchConfig("1", n_pucch=crnti % 12),
                               sf_idx=tti % 10)
-                res = cc.enb_ul.decode_pucch(samples, pucch)
+                res = pucch.decode(pucch_grid())
                 if bool(np.asarray(res["detected"])):
                     cc.sched_ul.ul_bsr(
                         crnti, max(cc.sched_ul.bsr.get(crnti, 0),

@@ -191,6 +191,20 @@ class SchedDl:
             grant = DlGrant.type0(self.cell.n_prb, mask, mcs)
             if grant.tbs <= 0:
                 continue
+            # effective-rate cap against the subframe's ACTUAL data REs:
+            # sf 0/5 centre PRBs lose REs to PBCH/PSS/SSS, so a CQI-picked
+            # MCS can exceed the 0.93 max code rate a UE must decode
+            # (36.213 §7.1.7; ra_dl.c computes nof_re the same way) —
+            # step the MCS down until the transport block fits
+            from ..phy.phch.pdsch import nof_re_pdsch
+
+            n_re = nof_re_pdsch(self.cell, grant, sf_idx, self.cfi)
+            while mcs > 0 and (grant.tbs + 24) > 0.93 * (
+                    n_re * grant.modulation.bits_per_symbol):
+                mcs -= 1
+                grant = DlGrant.type0(self.cell.n_prb, mask, mcs)
+            if grant.tbs <= 0:
+                continue
             for g in take:
                 rbg_free[g] = False
             cce_free[loc.cce : loc.cce + loc.L] = False

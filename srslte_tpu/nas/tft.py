@@ -68,10 +68,21 @@ class TftFilter:
     def parse(cls, eps_bearer_id: int, lcid: int, components: bytes,
               filter_id: int = 0, eval_precedence: int = 255) -> "TftFilter":
         f = cls(eps_bearer_id, lcid, filter_id, eval_precedence)
+        # bytes each component type consumes after its type octet
+        need = {IPV4_LOCAL_ADDR: 8, IPV4_REMOTE_ADDR: 8, IPV6_REMOTE_ADDR: 32,
+                IPV6_REMOTE_ADDR_LEN: 17, IPV6_LOCAL_ADDR_LEN: 17,
+                PROTOCOL_ID: 1, SINGLE_LOCAL_PORT: 2, SINGLE_REMOTE_PORT: 2,
+                LOCAL_PORT_RANGE: 4, REMOTE_PORT_RANGE: 4,
+                TYPE_OF_SERVICE: 2, FLOW_LABEL: 3,
+                SECURITY_PARAMETER_INDEX: 4}
         i = 0
         while i < len(components):
             t = components[i]
             i += 1
+            if t in need and len(components) - i < need[t]:
+                # reject malformed remote input at parse time — a silently
+                # short slice would crash match() on the data plane later
+                raise ValueError(f"truncated TFT component 0x{t:02x}")
             if t == IPV4_LOCAL_ADDR:
                 f.ipv4_local = (components[i : i + 4],
                                 components[i + 4 : i + 8])

@@ -84,6 +84,12 @@ class Pdcch:
     cfi: int
     sf_idx: int
 
+    def __post_init__(self):
+        # extended PHICH duration occupies symbols 0..2: the control region
+        # must span them or PHICH/PDSCH REs collide (36.211 table 6.9.3-1)
+        if self.cell.phich_length == "ext" and self.cfi < 3:
+            raise ValueError("extended PHICH duration requires CFI >= 3")
+
     @functools.cached_property
     def re_idx(self) -> np.ndarray:
         """Flat grid indices in quadruplet-sequence order [n_cce*36]."""

@@ -121,6 +121,12 @@ class Pdsch:
     # 0.75-scaled TBS (36.213 §7.1.7)
     dwpts_symbols: int | None = None
 
+    def __post_init__(self):
+        # see Pdcch: extended-duration PHICH in symbols 1/2 would collide
+        # with PDSCH REs mapped from a smaller control region
+        if self.cell.phich_length == "ext" and self.cfi < 3:
+            raise ValueError("extended PHICH duration requires CFI >= 3")
+
     @functools.cached_property
     def cfg(self) -> DlschConfig:
         return dlsch_config(self.cell, self.grant, self.sf_idx, self.cfi,

@@ -142,6 +142,7 @@ class UeApp:
         self._muted_pcis: frozenset = frozenset()
         self._crs_mute = None  # active FeICIC CRS-muting mask (or None)
         self._resel_ms = 0  # 36.304 Treselection accumulator (idle mode)
+        self._resel_target = None  # candidate the accumulator is counting for
         self.reselect_count = 0
 
     CRS_MUTE_REL_DB = 6.0  # mute a neighbor's CRS when within this of serving
@@ -181,7 +182,15 @@ class UeApp:
                          nof_ports=self.cell.nof_ports)
         self.ue_dl = UeDl(self.cell)
         self.ue_ul = UeUl(self.cell)
-        self.prach_cfg = PrachConfig(self.cell.ofdm, zero_corr_cfg=7)
+        # keep the SIB2-derived PRACH geometry across the switch (intra-eNB
+        # cells broadcast the same common config; re-receipt re-derives)
+        if self.sib2 is not None:
+            self.prach_cfg = PrachConfig(
+                self.cell.ofdm, root_seq_idx=self.sib2.root_seq_idx,
+                zero_corr_cfg=self.sib2.zero_corr_cfg,
+                freq_offset_prb=self.sib2.prach_freq_offset)
+        else:
+            self.prach_cfg = PrachConfig(self.cell.ofdm, zero_corr_cfg=7)
         self._measurer = (IntraMeasure(self.cell.n_prb,
                                        tuple(sorted(self.known_pcis)))
                           if len(self.known_pcis) > 1 else None)
@@ -459,14 +468,15 @@ class UeApp:
             if isinstance(msg, Sib1):
                 self.sib1 = msg
             elif isinstance(msg, Sib2):
-                if self.sib2 is None or msg != self.sib2:
-                    # derive live config from the broadcast (NOT from shared
-                    # constants): PRACH cyclic-shift geometry + ACK region
-                    self.prach_cfg = PrachConfig(
-                        self.cell.ofdm, root_seq_idx=msg.root_seq_idx,
-                        zero_corr_cfg=msg.zero_corr_cfg,
-                        freq_offset_prb=msg.prach_freq_offset)
-                    self.n_pucch_1 = msg.n1_pucch_an
+                # derive live config from the broadcast (NOT from shared
+                # constants): PRACH cyclic-shift geometry + ACK region.
+                # Unconditional: a cell switch may have reset prach_cfg
+                # (PrachConfig construction is cached, so this is free)
+                self.prach_cfg = PrachConfig(
+                    self.cell.ofdm, root_seq_idx=msg.root_seq_idx,
+                    zero_corr_cfg=msg.zero_corr_cfg,
+                    freq_offset_prb=msg.prach_freq_offset)
+                self.n_pucch_1 = msg.n1_pucch_an
                 self.sib2 = msg
             return
         if rnti == RA_RNTI:
@@ -607,14 +617,21 @@ class UeApp:
             # (rrc_cell.cc / cell selection procedures analog)
             best = max(by_pci, key=by_pci.get)
             if by_pci[best] > serving + QHYST_DB:
+                # Treselection is per candidate: a change of best cell
+                # restarts the timer (no credit carries between neighbors)
+                if best != self._resel_target:
+                    self._resel_target = best
+                    self._resel_ms = 0
                 self._resel_ms += MEAS_PERIOD_MS
                 if self._resel_ms >= T_RESEL_MS:
                     self.known_pcis.add(best)
                     self._switch_cell(best)
                     self.reselect_count += 1
                     self._resel_ms = 0
+                    self._resel_target = None
             else:
                 self._resel_ms = 0
+                self._resel_target = None
             return
         if self.meas_engine is None or self.pdcp1 is None:
             return
