@@ -60,7 +60,7 @@ from .phy.phch.prach import PrachConfig, prach_detect
 from .phy.phch.pucch import Pucch, PucchConfig
 from .phy.phch.pusch import Pusch
 from .phy.phch.uci import UciCfgUl
-from .phy.phch.ra import DlGrant
+from .phy.phch.ra import DlGrant, tbs_from_itbs
 from .phy.phch.ra_ul import UlGrant
 from .rlc import RlcAm, RlcTm
 from .rrc.mobility import short_mac_i
@@ -156,9 +156,7 @@ class EnbApp:
         for i, c in enumerate(cells):
             self.ccs[c.id] = _Cc(
                 cell=c, enb_dl=EnbDl(c), enb_ul=EnbUl(c),
-                prach_cfg=PrachConfig(c.ofdm, root_seq_idx=self.sib2.root_seq_idx,
-                                      zero_corr_cfg=self.sib2.zero_corr_cfg,
-                                      freq_offset_prb=self.sib2.prach_freq_offset),
+                prach_cfg=self.sib2.prach_config(c.ofdm),
                 rach=EnbRach(next_crnti=0x46 + 0x100 * i),
                 sched_dl=SchedDl(c, cfi=CFI), sched_ul=SchedUl(c, cfi=CFI))
             self.events.sector_start(i, c.id, c.id)
@@ -195,9 +193,11 @@ class EnbApp:
         return self.tdd.sf_type(tti % 10)
 
     def _prach_sf(self) -> int:
-        """PRACH opportunity subframe (FDD convention: 1; TDD: the first
-        UL subframe, sf1 being the special subframe)."""
-        return 1 if self.tdd is None else self.tdd.ul_subframes()[0]
+        """PRACH opportunity subframe — FDD: from the broadcast SIB2
+        prach-ConfigIndex (36.211 table 5.7.1-2); TDD: the first UL
+        subframe, sf1 being the special subframe."""
+        return (self.sib2.prach_sf if self.tdd is None
+                else self.tdd.ul_subframes()[0])
 
     def _sr_opportunity(self, tti: int) -> bool:
         if self.tdd is None:
@@ -290,8 +290,6 @@ class EnbApp:
             # TBs beyond the common-space TBS ceiling fall back to RLC AM
             # recovery rather than crashing the allocator.
             crnti, raw = cc.dl_retx.pop(0)
-            from .phy.phch.ra import tbs_from_itbs
-
             if crnti in self.ues and len(raw) * 8 <= tbs_from_itbs(26, 3):
                 bc_requests.append((crnti, len(raw), 0))
                 bc_payloads[crnti] = raw

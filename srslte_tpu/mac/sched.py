@@ -18,7 +18,7 @@ import numpy as np
 from ..phy.common.params import Cell
 from ..phy.phch.dci import Dci1, Dci1A, format1_size, pack_format1
 from ..phy.phch.pdcch import Location, common_locations, ue_locations
-from ..phy.phch.pdsch import dlsch_config, sf_flags
+from ..phy.phch.pdsch import dlsch_config, nof_re_pdsch, sf_flags
 from ..phy.phch.ra import DlGrant, rbg_size, tbs_from_itbs
 from ..phy.phch.regs import reg_layout
 from .harq import RV_SEQ
@@ -196,8 +196,6 @@ class SchedDl:
             # MCS can exceed the 0.93 max code rate a UE must decode
             # (36.213 §7.1.7; ra_dl.c computes nof_re the same way) —
             # step the MCS down until the transport block fits
-            from ..phy.phch.pdsch import nof_re_pdsch
-
             n_re = nof_re_pdsch(self.cell, grant, sf_idx, self.cfi)
             while mcs > 0 and (grant.tbs + 24) > 0.93 * (
                     n_re * grant.modulation.bits_per_symbol):

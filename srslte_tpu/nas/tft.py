@@ -130,7 +130,10 @@ class TftFilter:
                 f.type_of_service = (components[i], components[i + 1])
                 i += 2
             elif t == FLOW_LABEL:
-                f.flow_label = components[i : i + 3]
+                # spare high nibble of the first octet 'shall be ignored'
+                # (24.008) — mask it so it can never block a match
+                f.flow_label = (bytes([components[i] & 0x0F])
+                                + components[i + 1 : i + 3])
                 i += 3
             elif t == SECURITY_PARAMETER_INDEX:
                 f.spi = components[i : i + 4]

@@ -512,6 +512,28 @@ class Sib2:
 
     _channel = "bcch"
 
+    # 36.211 table 5.7.1-2 (format 0, any-SFN rows): cfg idx -> PRACH sf
+    _PRACH_SF = {3: 1, 4: 4, 5: 7}
+
+    @property
+    def prach_sf(self) -> int:
+        """FDD PRACH subframe for the configured index (single-subframe,
+        any-SFN format-0 indices; others are out of this stack's scope)."""
+        try:
+            return self._PRACH_SF[self.prach_cfg_idx]
+        except KeyError:
+            raise ValueError(
+                f"unsupported prach-ConfigIndex {self.prach_cfg_idx}")
+
+    def prach_config(self, params):
+        """Live PrachConfig derived from this SIB2 (single place: the UE's
+        SI handler, cell switches, and the eNB all share this mapping)."""
+        from ..phy.phch.prach import PrachConfig
+
+        return PrachConfig(params, root_seq_idx=self.root_seq_idx,
+                           zero_corr_cfg=self.zero_corr_cfg,
+                           freq_offset_prb=self.prach_freq_offset)
+
     def to_tree(self):
         sib2 = {
             "rr_cfg_common": {

@@ -144,6 +144,11 @@ class UeApp:
         self._resel_ms = 0  # 36.304 Treselection accumulator (idle mode)
         self._resel_target = None  # candidate the accumulator is counting for
         self.reselect_count = 0
+        # uplink TFT classifier (tft_packet_filter.cc): filters installed by
+        # NAS bearer procedures steer packets to the lcid's bearer; the
+        # default bearer carries everything unmatched
+        from .nas.tft import TftMatcher
+        self.tft = TftMatcher(default_lcid=3)
 
     CRS_MUTE_REL_DB = 6.0  # mute a neighbor's CRS when within this of serving
 
@@ -175,6 +180,12 @@ class UeApp:
             self._muted_pcis = strong
             self._crs_mute = self._neighbor_crs_mute(strong)
 
+    def _reset_resel(self):
+        """Zero the 36.304 Treselection state (entering/leaving camped —
+        no hysteresis credit may carry across a connect/release cycle)."""
+        self._resel_ms = 0
+        self._resel_target = None
+
     def _switch_cell(self, pci: int):
         """Retune the PHY objects to a new serving cell; the RLC/PDCP
         bearers survive (36.331 handover / reestablishment keep AM state)."""
@@ -185,10 +196,7 @@ class UeApp:
         # keep the SIB2-derived PRACH geometry across the switch (intra-eNB
         # cells broadcast the same common config; re-receipt re-derives)
         if self.sib2 is not None:
-            self.prach_cfg = PrachConfig(
-                self.cell.ofdm, root_seq_idx=self.sib2.root_seq_idx,
-                zero_corr_cfg=self.sib2.zero_corr_cfg,
-                freq_offset_prb=self.sib2.prach_freq_offset)
+            self.prach_cfg = self.sib2.prach_config(self.cell.ofdm)
         else:
             self.prach_cfg = PrachConfig(self.cell.ofdm, zero_corr_cfg=7)
         self._measurer = (IntraMeasure(self.cell.n_prb,
@@ -349,17 +357,27 @@ class UeApp:
         self.srb1.tick()
         self.drb1.tick()
         if self.state == "rach_wait" and sf == 0 and self.sib2 is not None:
-            # schedule PRACH for the next PRACH opportunity (FDD: tti%10==1;
-            # TDD: the first UL subframe of the frame) — only once SIB2 has
+            # schedule PRACH for the next PRACH opportunity — FDD: the
+            # subframe the broadcast prach-ConfigIndex names (36.211 table
+            # 5.7.1-2); TDD: the first UL subframe — only once SIB2 has
             # delivered the PRACH config (36.331: SI acquisition precedes RA)
             p = self.ra.start(np.random.default_rng(self.cell.id + tti))
-            tp = self._next_ul(tti + 1)
+            if self.tdd is None:
+                psf = self.sib2.prach_sf
+                tp = tti + ((psf - tti) % 10 or 10)
+            else:
+                tp = self._next_ul(tti + 1)
             self.pending_ul[tp] = UlTx(tp, "prach", preamble=p)
             self.state = "rach_sent"
         elif self.state == "ho_rach" and sf == 0:
-            # contention-free RACH on the target cell (36.321 5.1.2)
+            # contention-free RACH on the target cell (36.321 5.1.2);
+            # intra-eNB target shares the source's SIB2 PRACH timing
             p = self.ra.start_dedicated(self._ded_preamble)
-            tp = self._next_ul(tti + 1)
+            if self.tdd is None and self.sib2 is not None:
+                psf = self.sib2.prach_sf
+                tp = tti + ((psf - tti) % 10 or 10)
+            else:
+                tp = self._next_ul(tti + 1)
             self.pending_ul[tp] = UlTx(tp, "prach", preamble=p)
             self.state = "ho_rach_sent"
 
@@ -461,6 +479,7 @@ class UeApp:
                     # connection; here the NAS re-attaches over the new
                     # connection)
                     self._ra_mode = "attach"
+                    self._reset_resel()
                     self.state = "rach_wait"
             return
         if rnti == SI_RNTI:
@@ -472,10 +491,7 @@ class UeApp:
                 # constants): PRACH cyclic-shift geometry + ACK region.
                 # Unconditional: a cell switch may have reset prach_cfg
                 # (PrachConfig construction is cached, so this is free)
-                self.prach_cfg = PrachConfig(
-                    self.cell.ofdm, root_seq_idx=msg.root_seq_idx,
-                    zero_corr_cfg=msg.zero_corr_cfg,
-                    freq_offset_prb=msg.prach_freq_offset)
+                self.prach_cfg = msg.prach_config(self.cell.ofdm)
                 self.n_pucch_1 = msg.n1_pucch_an
                 self.sib2 = msg
             return
@@ -585,6 +601,7 @@ class UeApp:
             # bearers and AS security die with the connection
             self.rrc_state = "idle"
             self.state = "camped"
+            self._reset_resel()  # Treselection starts fresh in idle
             self.crnti = 0
             self.pending_ul.clear()
             self.srb0, self.srb1, self.drb1 = RlcTm(), RlcAm(), RlcAm()
@@ -680,5 +697,14 @@ class UeApp:
         self.state = "rach_wait"
 
     def send_data(self, packet: bytes):
-        """Queue an UL user-plane packet on the DRB."""
-        self.drb1.write_sdu(self.pdcp_drb.tx(packet))
+        """Queue an UL user-plane packet: the TFT matcher picks the
+        bearer (gw.cc:343 check_tft_filter_match); unmatched traffic and
+        unknown LCIDs ride the default DRB."""
+        lcid = self.tft.check_match(packet)
+        rlc, pdcp = self.bearers.get(lcid, (self.drb1, self.pdcp_drb))
+        rlc.write_sdu(pdcp.tx(packet))
+
+    @property
+    def bearers(self) -> dict:
+        """lcid -> (rlc, pdcp) user-plane bearers (default DRB on 3)."""
+        return {3: (self.drb1, self.pdcp_drb)}

@@ -60,3 +60,31 @@ def test_attach_with_nondefault_sib2():
     # ...and the whole attach + HARQ-acknowledged data ran on it
     assert ue.nas.state == "attached"
     assert ue.rx_data == [b"sib2-pong"]
+
+
+@pytest.mark.slow
+def test_prach_config_index_moves_the_opportunity():
+    """prach-ConfigIndex 4 puts PRACH in subframe 4 (36.211 table 5.7.1-2)
+    on BOTH ends — attach succeeds with no transmission at the default sf 1."""
+    cell = Cell(n_prb=15, id=42, nof_ports=1)
+    hss = Hss()
+    hss.add_subscriber(IMSI, K, op=OP)
+    mme = Mme(hss, Spgw())
+    enb = EnbApp(cell, mme=mme, sib2=Sib2(prach_cfg_idx=4))
+    ue = UeApp(cell, UeNas(SoftUsim(IMSI, K, compute_opc(K, OP))))
+    assert enb._prach_sf() == 4
+
+    prach_ttis = []
+    for tti in range(260):
+        dl = enb.tx_subframe(tti)
+        ue.rx_subframe(dl, tti)
+        pending = {t: v.kind for t, v in ue.pending_ul.items()}
+        ul = ue.tx_subframe(tti)
+        if pending.get(tti) == "prach":
+            prach_ttis.append(tti)
+        enb.rx_subframe(ul, tti)
+        if ue.nas.state == "attached":
+            break
+
+    assert ue.nas.state == "attached"
+    assert prach_ttis and all(t % 10 == 4 for t in prach_ttis), prach_ttis

@@ -82,3 +82,57 @@ def test_matcher_precedence_and_default():
 def test_empty_filter_never_matches():
     f = TftFilter.parse(5, 4, b"")
     assert not f.match(ipv4())
+
+
+def test_flow_label_spare_bits_masked():
+    from srslte_tpu.nas.tft import FLOW_LABEL, TftFilter
+
+    # spare high nibble set in the component must not block a match
+    f = TftFilter.parse(5, 4, bytes([FLOW_LABEL, 0x71, 0x02, 0x03]))
+    assert f.flow_label == b"\x01\x02\x03"
+    assert f.match(ipv6(flow=b"\x01\x02\x03"))
+
+
+def test_truncated_component_rejected():
+    import pytest as _p
+
+    from srslte_tpu.nas.tft import IPV4_REMOTE_ADDR, TftFilter
+
+    with _p.raises(ValueError):
+        TftFilter.parse(5, 4, bytes([IPV4_REMOTE_ADDR, 8, 8, 8]))
+
+
+def test_ue_send_data_consults_tft(monkeypatch):
+    """The UE's uplink path routes through the TFT matcher (live code)."""
+    from srslte_tpu.nas.tft import SINGLE_REMOTE_PORT, TftFilter
+    from srslte_tpu.phy.common.params import Cell
+    from srslte_tpu.ue import UeApp
+    from srslte_tpu.ue_stack import SoftUsim, UeNas
+
+    ue = UeApp(Cell(n_prb=15, id=1, nof_ports=1),
+               UeNas(SoftUsim("001010123456789", bytes(16), bytes(16))))
+
+    class FakeBearer:
+        def __init__(self):
+            self.sdus = []
+
+        def write_sdu(self, sdu):
+            self.sdus.append(sdu)
+
+    class FakePdcp:
+        def tx(self, pkt):
+            return pkt
+
+    default, dedicated = FakeBearer(), FakeBearer()
+    ue.drb1, ue.pdcp_drb = default, FakePdcp()
+    monkeypatch.setattr(
+        UeApp, "bearers",
+        property(lambda self: {3: (self.drb1, self.pdcp_drb),
+                               4: (dedicated, FakePdcp())}))
+    ue.tft.add_filter(TftFilter.parse(
+        6, 4, bytes([SINGLE_REMOTE_PORT]) + (53).to_bytes(2, "big"),
+        eval_precedence=1))
+    ue.send_data(ipv4(dport=53))  # DNS -> dedicated bearer (lcid 4)
+    ue.send_data(ipv4(dport=80))  # unmatched -> default DRB
+    assert len(dedicated.sdus) == 1
+    assert len(default.sdus) == 1
