@@ -50,7 +50,7 @@ RNTI = 0x46
 # (INNER > 1 loops the decode inside one jit: the host<->device relay
 # round trip is paid once per INNER*BATCH subframes)
 BATCH = int(os.environ.get("BENCH_BATCH", "384"))
-INNER = int(os.environ.get("BENCH_INNER", "16"))
+INNER = int(os.environ.get("BENCH_INNER", "32"))
 SCOPE = os.environ.get("BENCH_SCOPE", "cc_worker")
 
 
